@@ -1,0 +1,147 @@
+"""Command-line renderer — the framework's user surface.
+
+Analogue of the reference application's headless paths: metric selection,
+camera placement, screenshot output, and the ``-bench`` frametime protocol
+(main.cpp:970-986, 2864-2871).
+
+Usage:
+    python -m geodesic_raytracing_tpu.cli --metric schwarzschild \
+        --width 512 --height 512 --out out.png
+    python -m geodesic_raytracing_tpu.cli --bench kerr_boyer --frames 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--metric", default="schwarzschild")
+    ap.add_argument("--bench", metavar="METRIC", default=None,
+                    help="benchmark mode: print per-frame 'Frametime Elapsed: MS'")
+    ap.add_argument("--list", action="store_true", help="list metrics and exit")
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--fov", type=float, default=90.0)
+    ap.add_argument("--out", default="out.png")
+    ap.add_argument("--background", default=None, help="equirect image path")
+    ap.add_argument("--background2", default=None, help="far-side image path")
+    ap.add_argument("--camera", type=float, nargs=4,
+                    default=[0.0, 7.0, np.pi / 2, -np.pi / 2],
+                    metavar=("T", "R", "THETA", "PHI"),
+                    help="camera position in polar coordinates")
+    ap.add_argument("--pitch", type=float, default=0.0,
+                    help="camera pitch in degrees (-90 looks at the origin "
+                         "from the default position)")
+    ap.add_argument("--yaw", type=float, default=0.0)
+    ap.add_argument("--roll", type=float, default=0.0)
+    ap.add_argument("--speed", type=float, nargs=3, default=[0.0, 0.0, 0.0],
+                    metavar=("VX", "VY", "VZ"),
+                    help="observer 3-velocity in the tetrad frame (|v| < 1)")
+    ap.add_argument("--redshift", action="store_true")
+    ap.add_argument("--max-steps", type=int, default=16384)
+    ap.add_argument("--frames", type=int, default=10, help="bench frame count")
+    ap.add_argument("--anisotropy", type=int, default=8)
+    ap.add_argument("--param", action="append", default=[],
+                    metavar="NAME=VALUE", help="metric parameter override")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import metrics
+    from .camera import Camera
+    from .ops.integrate import Features, TraceOptions
+    from .render import background as bg
+    from .render import colour
+    from .render.pipeline import RenderSettings, render_frame
+
+    if args.list:
+        for name in metrics.list_metrics():
+            print(name)
+        return 0
+
+    name = args.bench or args.metric
+    metric = metrics.get_metric(name)
+
+    overrides = {}
+    for kv in args.param:
+        k, v = kv.split("=", 1)
+        overrides[k] = float(v)
+    params = metric.params(**overrides)
+
+    cam = Camera.default()._replace(
+        polar_position=jnp.asarray(args.camera, dtype=jnp.float32),
+        basis_speed=jnp.asarray(args.speed, dtype=jnp.float32),
+    )
+    d2r = np.pi / 180.0
+    if args.pitch or args.yaw or args.roll:
+        cam = cam.rotate(
+            yaw=args.yaw * d2r, pitch=args.pitch * d2r, roll=args.roll * d2r
+        )
+
+    if args.background:
+        backgrounds = bg.load_background(args.background, args.background2)
+    else:
+        backgrounds = bg.checker_background()
+
+    settings = RenderSettings(
+        width=args.width,
+        height=args.height,
+        fov_degrees=args.fov,
+        anisotropy=args.anisotropy,
+        redshift=args.redshift,
+        trace=TraceOptions(max_steps=args.max_steps),
+    )
+    features = Features.for_metric(metric)
+
+    if args.bench:
+        # Warm-up compile, then the reference's frametime protocol
+        # (main.cpp:2864-2871; the string must not change).
+        img = render_frame(metric, cam, params, backgrounds, settings, features)
+        img.block_until_ready()
+        for _ in range(args.frames):
+            t0 = time.perf_counter()
+            img = render_frame(metric, cam, params, backgrounds, settings,
+                               features)
+            img.block_until_ready()
+            ms = (time.perf_counter() - t0) * 1e3
+            print(f"Frametime Elapsed: {ms:f}")
+        return 0
+
+    t0 = time.perf_counter()
+    img = render_frame(metric, cam, params, backgrounds, settings, features)
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    srgb = np.asarray(colour.lin_to_srgb(img))
+    arr = (np.clip(srgb, 0, 1) * 255).astype(np.uint8)
+    _write_png(args.out, arr)
+    print(f"wrote {args.out} ({args.width}x{args.height}, {name}) in {dt:.2f}s")
+    return 0
+
+
+def _write_png(path: str, arr: np.ndarray) -> None:
+    try:
+        import imageio.v3 as iio
+
+        iio.imwrite(path, arr)
+    except ImportError:
+        from PIL import Image
+
+        Image.fromarray(arr).save(path)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,170 @@
+"""Core differential geometry: metrics, partials, Christoffel contraction.
+
+TPU-first design note
+---------------------
+The reference implements this layer as a *symbolic* pipeline: C++ dual numbers
+driven from JavaScript produce expression strings that are spliced into an
+OpenCL kernel as preprocessor defines (reference: metric.hpp:38-244,
+equation_context.hpp:16-97).  On TPU the entire layer collapses to tracing a
+plain Python function ``g(x, params) -> (4, 4)`` with ``jax.jacfwd`` providing
+the 64 metric partials (the reference's generated ``F*_P`` expressions) and XLA
+doing the common-subexpression elimination that ``equation_context::pin`` did
+by hand.
+
+Everything here is written for a *single* event ``x`` of shape ``(4,)`` and is
+``vmap``-ed over ray batches by the integrator.  All ops are tiny (4, 4x4,
+4x4x4) tensor algebra that the VPU handles elementwise once batched.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Signature of a metric function: g(x: (4,), params: dict) -> (4, 4) symmetric.
+MetricFn = Callable[..., Array]
+
+
+def metric_and_partials(g: MetricFn, x: Array, params) -> tuple[Array, Array]:
+    """Evaluate ``g`` and its coordinate partials at ``x``.
+
+    Returns ``(gab, dgab)`` with ``gab[a, b] = g_ab(x)`` and
+    ``dgab[c, a, b] = d g_ab / d x^c``.
+
+    Mirrors the reference's ``evaluate_metric2D`` dual-number sweep
+    (metric.hpp:38-80): there each coordinate gets a dual seed in turn; here a
+    single ``jacfwd`` performs the same four JVP passes.
+    """
+    gab = g(x, params)
+    # jacfwd appends the derivative axis last: (4, 4, 4) with [..., c] = d/dx^c.
+    dg = jax.jacfwd(lambda y: g(y, params))(x)
+    dgab = jnp.moveaxis(dg, -1, 0)
+    return gab, dgab
+
+
+def inverse44_sym(m: Array) -> Array:
+    """Inverse of a symmetric 4x4 metric (reference ``metric_inverse``
+    cl.cl:469-558).  Symmetric input guarantees a symmetric inverse, so the
+    general cofactor expansion is reused directly — XLA CSEs the duplicated
+    minors."""
+    return _inverse44(m)
+
+
+def _inverse44(m: Array) -> Array:
+    """General 4x4 inverse by cofactor expansion (vmap/VPU friendly).
+
+    Behavioural twin of ``matrix_inverse`` (reference cl.cl:560-683).
+    """
+    a = m
+    # Laplace expansion using 2x2 minors of rows (0,1) and rows (2,3).
+    s0 = a[0, 0] * a[1, 1] - a[1, 0] * a[0, 1]
+    s1 = a[0, 0] * a[1, 2] - a[1, 0] * a[0, 2]
+    s2 = a[0, 0] * a[1, 3] - a[1, 0] * a[0, 3]
+    s3 = a[0, 1] * a[1, 2] - a[1, 1] * a[0, 2]
+    s4 = a[0, 1] * a[1, 3] - a[1, 1] * a[0, 3]
+    s5 = a[0, 2] * a[1, 3] - a[1, 2] * a[0, 3]
+
+    c5 = a[2, 2] * a[3, 3] - a[3, 2] * a[2, 3]
+    c4 = a[2, 1] * a[3, 3] - a[3, 1] * a[2, 3]
+    c3 = a[2, 1] * a[3, 2] - a[3, 1] * a[2, 2]
+    c2 = a[2, 0] * a[3, 3] - a[3, 0] * a[2, 3]
+    c1 = a[2, 0] * a[3, 2] - a[3, 0] * a[2, 2]
+    c0 = a[2, 0] * a[3, 1] - a[3, 0] * a[2, 1]
+
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    invdet = 1.0 / det
+
+    b = [
+        [
+            (a[1, 1] * c5 - a[1, 2] * c4 + a[1, 3] * c3) * invdet,
+            (-a[0, 1] * c5 + a[0, 2] * c4 - a[0, 3] * c3) * invdet,
+            (a[3, 1] * s5 - a[3, 2] * s4 + a[3, 3] * s3) * invdet,
+            (-a[2, 1] * s5 + a[2, 2] * s4 - a[2, 3] * s3) * invdet,
+        ],
+        [
+            (-a[1, 0] * c5 + a[1, 2] * c2 - a[1, 3] * c1) * invdet,
+            (a[0, 0] * c5 - a[0, 2] * c2 + a[0, 3] * c1) * invdet,
+            (-a[3, 0] * s5 + a[3, 2] * s2 - a[3, 3] * s1) * invdet,
+            (a[2, 0] * s5 - a[2, 2] * s2 + a[2, 3] * s1) * invdet,
+        ],
+        [
+            (a[1, 0] * c4 - a[1, 1] * c2 + a[1, 3] * c0) * invdet,
+            (-a[0, 0] * c4 + a[0, 1] * c2 - a[0, 3] * c0) * invdet,
+            (a[3, 0] * s4 - a[3, 1] * s2 + a[3, 3] * s0) * invdet,
+            (-a[2, 0] * s4 + a[2, 1] * s2 - a[2, 3] * s0) * invdet,
+        ],
+        [
+            (-a[1, 0] * c3 + a[1, 1] * c1 - a[1, 2] * c0) * invdet,
+            (a[0, 0] * c3 - a[0, 1] * c1 + a[0, 2] * c0) * invdet,
+            (-a[3, 0] * s3 + a[3, 1] * s1 - a[3, 2] * s0) * invdet,
+            (a[2, 0] * s3 - a[2, 1] * s1 + a[2, 2] * s0) * invdet,
+        ],
+    ]
+    return jnp.stack([jnp.stack(row) for row in b])
+
+
+def geodesic_acceleration(gab: Array, dgab: Array, v: Array) -> Array:
+    """d^2 x^mu / dlambda^2 = -Gamma^mu_ab v^a v^b without forming Gamma.
+
+    Matches the reference's generated acceleration (``calculate_acceleration``
+    metric.hpp:184-244; device contraction cl.cl:1443-1537) but contracts the
+    velocity in first so only a 4-vector is solved against the inverse metric:
+
+        S_n  = v^a v^b ( d_a g_nb  -  1/2 d_n g_ab )
+        a^mu = -g^{mu n} S_n
+    """
+    # dgab[c, a, b] = d_c g_ab
+    term1 = jnp.einsum("a,b,anb->n", v, v, dgab)
+    term2 = 0.5 * jnp.einsum("a,b,nab->n", v, v, dgab)
+    s = term1 - term2
+    ginv = _inverse44(gab)
+    return -ginv @ s
+
+
+def acceleration_at(g: MetricFn, x: Array, v: Array, params) -> Array:
+    """Geodesic acceleration at position ``x`` with velocity ``v``."""
+    gab, dgab = metric_and_partials(g, x, params)
+    return geodesic_acceleration(gab, dgab, v)
+
+
+def dot_g(gab: Array, u: Array, v: Array) -> Array:
+    """g_ab u^a v^b (reference ``dot_product_big``)."""
+    return jnp.einsum("ab,a,b->", gab, u, v)
+
+
+def lower(gab: Array, v: Array) -> Array:
+    """Lower an index: v_a = g_ab v^b (reference ``lower_index_big``)."""
+    return gab @ v
+
+
+def raise_(gab: Array, v: Array) -> Array:
+    """Raise an index with the inverse metric."""
+    return _inverse44(gab) @ v
+
+
+def fix_null(gab: Array, v: Array) -> Array:
+    """Rescale the time component of ``v`` so that g(v, v) = 0.
+
+    Behavioural twin of ``fix_light_velocity_big`` (reference metric.hpp:133-182
+    / cl.cl's generated variant): solve the quadratic
+    ``g_tt vt^2 + 2 g_ti vt v^i + g_ij v^i v^j = 0`` for ``vt`` keeping the
+    root closest in sign to the original time component.
+    """
+    vs = v.at[0].set(0.0)
+    a = gab[0, 0]
+    b = 2.0 * (gab[0] @ vs)
+    c = jnp.einsum("ab,a,b->", gab, vs, vs)
+    disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+    sq = jnp.sqrt(disc)
+    r0 = (-b - sq) / (2.0 * a)
+    r1 = (-b + sq) / (2.0 * a)
+    want = v[0]
+    vt = jnp.where(jnp.abs(r0 - want) < jnp.abs(r1 - want), r0, r1)
+    # Guard a degenerate g_tt ~ 0 (null coordinate): fall back to -c/b.
+    lin = -c / jnp.where(jnp.abs(b) < 1e-12, 1e-12, b)
+    vt = jnp.where(jnp.abs(a) < 1e-12, lin, vt)
+    return v.at[0].set(vt)

@@ -1,0 +1,341 @@
+"""The geodesic integrator: adaptive-step velocity Verlet over ray batches.
+
+Behavioural twin of the reference's hot loop ``do_generic_rays``
+(cl.cl:3954-4247) and ``step_verlet`` (cl.cl:3273-3346), redesigned for TPU:
+
+* The reference runs one work-item per ray with a data-dependent ``while``
+  and ``i--`` step-rejection retries.  On TPU every ray in a batch advances
+  through a *fixed-bound* loop under masks: a rejected trial simply does not
+  commit its state (no retry counter), a terminated ray stops committing and
+  its lanes idle until the batch's ``while_loop`` exits.
+* Per-ray early exit becomes batch-level early exit: the ``lax.while_loop``
+  stops as soon as every ray in the batch has terminated.  Tiling of the image
+  into batches (and the Pallas kernel) recovers the reference's workgroup-level
+  divergence behaviour.
+* Differentiability: ``trace_rays(..., method="scan")`` runs a fixed-length
+  ``lax.scan`` with rematerialisation every ``remat_every`` steps so pixels
+  can be differentiated w.r.t. metric params / camera pose — a capability the
+  reference does not have.
+
+Status codes: 0 = active, 1 = terminated-at-surface (samples the background;
+reference ``terminated == 1``), 2 = dead (black pixel: coordinate blowup,
+singularity hit, NaN — the reference's bare ``return`` paths).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..metrics.base import Metric
+from . import geometry
+
+Array = jax.Array
+
+ACTIVE = 0
+ESCAPED = 1
+DEAD = 2
+
+# do_generic_rays loop limit (cl.cl:4016: 4096 * 4).
+MAX_STEPS_DEFAULT = 16384
+
+# acceleration_to_precision's float-precision workaround constant
+# "I_HATE_COMPUTERS" (cl.cl:3398: 256*256).
+_PRECISION_SCALE = 65536.0
+_MAX_TIMESTEP = 100000.0
+
+
+class Features(NamedTuple):
+    """Runtime-tunable engine features (the reference's dynamic_feature_config,
+    main.cpp:1123-1158).  All traced — changing one does not recompile."""
+
+    universe_size: Array | float = 20.0
+    max_acceleration_change: Array | float = 0.01
+    max_precision_radius: Array | float = 10.0
+    min_step: Array | float = 1e-6
+    ambient_precision: Array | float = 0.2
+    subambient_precision: Array | float = 0.5
+
+    @classmethod
+    def for_metric(cls, metric, **overrides) -> "Features":
+        """Features seeded from the metric's config — the reference loads
+        ``metric_cfg.max_acceleration_change`` into the feature registry on
+        metric switch."""
+        kw = dict(max_acceleration_change=metric.config.max_acceleration_change)
+        kw.update(overrides)
+        return cls(**kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceOptions:
+    """Static trace options — part of the jit specialisation key, mirroring
+    the reference's compile-time ``-D`` feature defines."""
+
+    max_steps: int = MAX_STEPS_DEFAULT
+    reparameterisation: bool = False
+    method: str = "while"  # "while" (fast) | "scan" (differentiable)
+    remat_every: int = 128  # checkpoint window for method="scan"
+    unroll: int = 1
+
+
+class RayState(NamedTuple):
+    """Structure-of-arrays ray state (reference ``struct lightray``
+    cl.cl:813-824, minus bookkeeping that lives in the pipeline)."""
+
+    position: Array  # (..., 4)
+    velocity: Array  # (..., 4)
+    acceleration: Array  # (..., 4)
+    next_ds: Array  # (...,)
+    running_dlambda_dnew: Array  # (...,)
+    status: Array  # (...,) int32
+    steps: Array  # (...,) int32 committed steps
+
+
+def linear_val(value, min_val, max_val, at_min, at_max):
+    """cl.cl:806-811 — clamped linear remap."""
+    mixd = jnp.clip((value - min_val) / (max_val - min_val), 0.0, 1.0)
+    return at_min + (at_max - at_min) * mixd
+
+
+def acceleration_to_precision(acc: Array, max_acceleration, w_v) -> tuple[Array, Array]:
+    """cl.cl:3400-3429 — error estimate and ideal next step from acceleration.
+
+    Returns ``(diff, next_ds)``.
+    """
+    udiv = jnp.max(w_v)
+    err_scale = jnp.sqrt(jnp.sum((acc * w_v) ** 2, axis=-1)) * 0.01 / udiv
+    err = max_acceleration
+    diff = err_scale * _PRECISION_SCALE
+    floor = err * _PRECISION_SCALE / (_MAX_TIMESTEP * _MAX_TIMESTEP)
+    diff = jnp.maximum(diff, floor)
+    next_ds = jnp.sqrt(err * _PRECISION_SCALE / diff)
+    return diff, next_ds
+
+
+def make_acceleration_fn(metric: Metric):
+    """Batched geodesic acceleration a(x, v)."""
+
+    def accel_one(x, v, params):
+        return geometry.acceleration_at(metric.fn, x, v, params)
+
+    return jax.vmap(accel_one, in_axes=(0, 0, None))
+
+
+def verlet_step(accel_fn, position, velocity, acceleration, ds, params,
+                reparameterisation: bool):
+    """cl.cl:3273-3346 — velocity Verlet with optional affine
+    reparameterisation (K = 1/max|v'|)."""
+    ds_ = ds[..., None]
+    next_position = position + velocity * ds_ + 0.5 * acceleration * ds_ * ds_
+    intermediate_velocity = velocity + acceleration * ds_
+    next_acceleration = accel_fn(next_position, intermediate_velocity, params)
+    next_velocity = velocity + 0.5 * (acceleration + next_acceleration) * ds_
+
+    if reparameterisation:
+        max_divisor = jnp.max(jnp.abs(next_velocity), axis=-1)
+        K = 1.0 / max_divisor
+    else:
+        K = jnp.ones(ds.shape, dtype=position.dtype)
+
+    return (
+        next_position,
+        next_velocity * K[..., None],
+        next_acceleration * (K * K)[..., None],
+        K,
+    )
+
+
+def init_ray_state(metric: Metric, position: Array, velocity: Array, params,
+                   features: Features, fix_null_velocity: bool = True) -> RayState:
+    """Build the initial RayState from positions/velocities
+    (``geodesic_to_render_ray`` cl.cl:3000-3065: null-fix the velocity, compute
+    the initial acceleration, seed the adaptive step)."""
+    n = position.shape[0]
+
+    if fix_null_velocity:
+        gab = jax.vmap(metric.fn, in_axes=(0, None))(position, params)
+        velocity = jax.vmap(geometry.fix_null)(gab, velocity)
+
+    accel_fn = make_acceleration_fn(metric)
+    acceleration = accel_fn(position, velocity, params)
+
+    w_v = jnp.array(metric.precision_weights(), dtype=position.dtype)
+    if metric.config.adaptive_precision:
+        _, next_ds = acceleration_to_precision(
+            acceleration, features.max_acceleration_change, w_v
+        )
+    else:
+        next_ds = jnp.full((n,), 1e-5, dtype=position.dtype)
+
+    return RayState(
+        position=position,
+        velocity=velocity,
+        acceleration=acceleration,
+        next_ds=next_ds,
+        running_dlambda_dnew=jnp.ones((n,), dtype=position.dtype),
+        status=jnp.zeros((n,), dtype=jnp.int32),
+        steps=jnp.zeros((n,), dtype=jnp.int32),
+    )
+
+
+def _make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
+                  f_in_x: Array):
+    """One masked integrator iteration over the whole ray batch."""
+    cfg = metric.config
+    accel_fn = make_acceleration_fn(metric)
+    w_v_const = metric.precision_weights()
+
+    def step(state: RayState, params) -> RayState:
+        pos, vel, acc = state.position, state.velocity, state.acceleration
+        dtype = pos.dtype
+        w_v = jnp.array(w_v_const, dtype=dtype)
+
+        active = state.status == ACTIVE
+
+        polar = jax.vmap(metric.to_polar, in_axes=(0, None))(pos, params)
+        r_value = jax.vmap(metric.origin_distance, in_axes=(0, None))(
+            polar, params
+        )
+        abs_r = jnp.abs(r_value)
+
+        new_min = jnp.asarray(3.0, dtype)
+        new_max = features.max_precision_radius
+
+        # Step schedule (cl.cl:4059-4086): adaptive next_ds near the object,
+        # clamped by ambient precision; linear growth in the far field.
+        ds_sched = linear_val(
+            abs_r, new_min, new_max,
+            features.ambient_precision, features.subambient_precision,
+        )
+        ds = state.next_ds if cfg.adaptive_precision else ds_sched
+        near = abs_r < new_max
+        ds = jnp.where(
+            near,
+            jnp.minimum(ds, features.ambient_precision),
+            0.1 * (abs_r - new_max) + features.ambient_precision,
+        )
+
+        # Termination tests on the current position (cl.cl:4088-4130).
+        escaped = jnp.abs(polar[:, 1]) >= features.universe_size
+        newly_escaped = escaped
+        if cfg.singular:
+            newly_escaped = newly_escaped | (
+                jnp.abs(polar[:, 1]) < cfg.singular_terminator
+            )
+
+        dead = jnp.zeros_like(escaped)
+        if cfg.has_cylindrical_singularity:
+            dead = dead | (pos[:, 1] < cfg.cylindrical_terminator)
+        if not cfg.unconditionally_nonsingular:
+            rd = state.running_dlambda_dnew
+            blowup = (jnp.abs(vel[:, 0] / rd) > 1000.0 + f_in_x) & (
+                jnp.abs(acc[:, 0] / rd) > 100.0
+            )
+            dead = dead | blowup
+
+        status = state.status
+        status = jnp.where(active & newly_escaped, ESCAPED, status)
+        status = jnp.where(active & dead & ~newly_escaped, DEAD, status)
+        active = status == ACTIVE
+
+        # Trial Verlet step (cl.cl:4144-4178).
+        npos, nvel, nacc, K = verlet_step(
+            accel_fn, pos, vel, acc, ds, params, opts.reparameterisation
+        )
+
+        commit = active
+        next_ds = state.next_ds
+        if cfg.adaptive_precision:
+            err = features.max_acceleration_change
+            diff, ideal_ds = acceleration_to_precision(nacc, err, w_v)
+            # calculate_ds_error (cl.cl:3431-3456)
+            cand = 0.99 * ds * jnp.clip(ideal_ds / ds, 0.3, 2.0)
+            cand = jnp.maximum(cand, features.min_step)
+            skip = cand < ds / 1.95
+            kill = jnp.zeros_like(skip)
+            if cfg.detect_singularities:
+                kill = (cand <= features.min_step) & (
+                    diff / _PRECISION_SCALE > err * 10000.0
+                )
+            # Error control applies only in the near zone (cl.cl:4156).
+            skip = skip & near
+            kill = kill & near
+            status = jnp.where(active & kill, DEAD, status)
+            commit = active & ~kill & ~skip
+            next_ds = jnp.where(active, cand, next_ds)
+
+        cm = commit[:, None]
+        pos = jnp.where(cm, npos, pos)
+        vel = jnp.where(cm, nvel, vel)
+        acc = jnp.where(cm, nacc, acc)
+        rdl = jnp.where(commit, state.running_dlambda_dnew * K,
+                        state.running_dlambda_dnew)
+
+        # Degenerate bail-out (IS_DEGENERATE, cl.cl:4234-4237).
+        bad = ~(
+            jnp.all(jnp.isfinite(pos), axis=-1)
+            & jnp.all(jnp.isfinite(vel), axis=-1)
+            & jnp.all(jnp.isfinite(acc), axis=-1)
+        )
+        status = jnp.where((status == ACTIVE) & bad, DEAD, status)
+
+        return RayState(
+            position=pos,
+            velocity=vel,
+            acceleration=acc,
+            next_ds=next_ds,
+            running_dlambda_dnew=rdl,
+            status=status,
+            steps=state.steps + commit.astype(jnp.int32),
+        )
+
+    return step
+
+
+def trace_rays(metric: Metric, state: RayState, params,
+               features: Features = Features(),
+               opts: TraceOptions = TraceOptions()) -> RayState:
+    """March every ray to termination or the step limit.
+
+    ``opts.method``:
+      * ``"while"`` — ``lax.while_loop`` with batch-level early exit; the
+        fast inference path (not reverse-differentiable).
+      * ``"scan"``  — fixed ``opts.max_steps`` iterations as a nested
+        ``lax.scan`` with ``jax.checkpoint`` every ``opts.remat_every`` steps;
+        reverse-differentiable w.r.t. ``params`` and the initial state.
+    """
+    f_in_x = jnp.abs(state.velocity[:, 0])
+    step = _make_step_fn(metric, features, opts, f_in_x)
+
+    if opts.method == "while":
+        def cond(carry):
+            i, s = carry
+            return (i < opts.max_steps) & jnp.any(s.status == ACTIVE)
+
+        def body(carry):
+            i, s = carry
+            return i + 1, step(s, params)
+
+        _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        return final
+
+    if opts.method == "scan":
+        inner_n = opts.remat_every
+        outer_n = -(-opts.max_steps // inner_n)
+
+        @jax.checkpoint
+        def outer_body(s, _):
+            def inner_body(s2, _):
+                return step(s2, params), None
+
+            s, _ = jax.lax.scan(inner_body, s, None, length=inner_n)
+            return s, None
+
+        final, _ = jax.lax.scan(outer_body, state, None, length=outer_n)
+        return final
+
+    raise ValueError(f"unknown trace method {opts.method!r}")

@@ -1,0 +1,282 @@
+"""Skysphere backgrounds: mip pyramid + anisotropic (EWA) equirect sampling.
+
+The reference builds a CPU-side mip pyramid into a CL image array because of
+driver holes (graphics_settings.cpp:152-212) and hand-rolls trilinear
+mipmapping + Heckbert-ellipse anisotropic filtering in the render kernel
+(cl.cl:5421-5687).  On TPU there is no texture unit at all, so the same
+hand-rolled filtering becomes gathers over a mip *atlas*: all levels packed
+side-by-side in one array so a traced mip level stays a dynamic index, not a
+dynamic shape.
+
+Two backgrounds are carried for two-sided universes (wormholes; side selects
+which, graphics_settings.cpp:214-243).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+MIP_LEVELS = 10  # reference uses 10 (graphics_settings.cpp:165)
+
+
+class Background(NamedTuple):
+    """Mip atlas for both universe sides.
+
+    ``atlas``: (2, H, 2W, 3) float32 linear RGB.  Level l of side s occupies
+    ``atlas[s, :H>>l, offs[l]:offs[l]+(W>>l), :]``.
+    ``level_w, level_h, level_x``: (L,) int32 per-level sizes and x offsets.
+    """
+
+    atlas: Array
+    level_w: Array
+    level_h: Array
+    level_x: Array
+
+    @property
+    def levels(self) -> int:
+        return self.level_w.shape[0]
+
+
+def _downsample2(img: np.ndarray) -> np.ndarray:
+    """2x2 box filter with odd-size handling by edge-clamping."""
+    h, w, c = img.shape
+    if h % 2:
+        img = np.concatenate([img, img[-1:]], axis=0)
+        h += 1
+    if w % 2:
+        img = np.concatenate([img, img[:, -1:]], axis=1)
+        w += 1
+    return img.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
+
+
+def build_background(image: np.ndarray, image2: np.ndarray | None = None,
+                     levels: int = MIP_LEVELS) -> Background:
+    """Build the mip atlas from (H, W, 3) float32 linear images
+    (``load_mipped_image`` graphics_settings.cpp:152-212)."""
+    image = np.asarray(image, dtype=np.float32)
+    if image2 is None:
+        image2 = image
+    image2 = np.asarray(image2, dtype=np.float32)
+    assert image.shape == image2.shape, "both sides must share dimensions"
+
+    H, W, _ = image.shape
+    levels = min(levels, int(np.log2(min(H, W))) + 1)
+
+    atlas = np.zeros((2, H, 2 * W, 3), dtype=np.float32)
+    lw, lh, lx = [], [], []
+    for s, img in enumerate((image, image2)):
+        cur = img
+        x = 0
+        for l in range(levels):
+            h, w, _ = cur.shape
+            atlas[s, :h, x : x + w, :] = cur
+            if s == 0:
+                lw.append(w)
+                lh.append(h)
+                lx.append(x)
+            x += w
+            cur = _downsample2(cur)
+
+    return Background(
+        atlas=jnp.asarray(atlas),
+        level_w=jnp.asarray(lw, dtype=jnp.int32),
+        level_h=jnp.asarray(lh, dtype=jnp.int32),
+        level_x=jnp.asarray(lx, dtype=jnp.int32),
+    )
+
+
+def checker_background(height: int = 1024, width: int = 2048,
+                       squares: int = 24) -> Background:
+    """Procedural latitude/longitude checker — the test/bench skysphere."""
+    v, u = np.meshgrid(
+        np.arange(height) / height, np.arange(width) / width, indexing="ij"
+    )
+    cu = np.floor(u * squares).astype(int)
+    cv = np.floor(v * squares / 2).astype(int)
+    check = ((cu + cv) % 2).astype(np.float32)
+    img = np.stack(
+        [0.15 + 0.7 * check, 0.25 + 0.5 * check, 0.6 - 0.3 * check], axis=-1
+    )
+    # Tint the second side so wormhole far sides are identifiable.
+    img2 = img[..., ::-1].copy()
+    return build_background(img, img2)
+
+
+def load_background(path: str, path2: str | None = None) -> Background:
+    """Load equirect image file(s) (PNG/JPG), convert sRGB -> linear."""
+    from . import colour
+
+    def load(p):
+        try:
+            import imageio.v3 as iio
+
+            arr = iio.imread(p)
+        except ImportError:
+            from PIL import Image
+
+            arr = np.asarray(Image.open(p))
+        arr = arr.astype(np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        arr = arr[..., :3]
+        return np.asarray(colour.srgb_to_lin(arr))
+
+    img = load(path)
+    img2 = load(path2) if path2 else None
+    return build_background(img, img2)
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+def _bilinear_level(bgr: Background, side: Array, uv: Array, level: Array) -> Array:
+    """Bilinear wrap-sample one mip level (CLK_ADDRESS_REPEAT + FILTER_LINEAR,
+    cl.cl:5846 ``read_mipmap``).  All args per-pixel arrays; uv (..., 2)."""
+    level = jnp.clip(level, 0, bgr.levels - 1)
+    w = bgr.level_w[level].astype(jnp.float32)
+    h = bgr.level_h[level].astype(jnp.float32)
+    x0f = uv[..., 0] * w - 0.5
+    y0f = uv[..., 1] * h - 0.5
+    xi = jnp.floor(x0f)
+    yi = jnp.floor(y0f)
+    fx = (x0f - xi)[..., None]
+    fy = (y0f - yi)[..., None]
+
+    wi = bgr.level_w[level]
+    hi = bgr.level_h[level]
+    x0 = jnp.mod(xi.astype(jnp.int32), wi)
+    x1 = jnp.mod(x0 + 1, wi)
+    y0 = jnp.mod(yi.astype(jnp.int32), hi)
+    y1 = jnp.mod(y0 + 1, hi)
+
+    xoff = bgr.level_x[level]
+
+    def gather(yy, xx):
+        return bgr.atlas[side, yy, xoff + xx, :]
+
+    c00 = gather(y0, x0)
+    c01 = gather(y0, x1)
+    c10 = gather(y1, x0)
+    c11 = gather(y1, x1)
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def read_mipmap(bgr: Background, side: Array, uv: Array, lod: Array) -> Array:
+    """Trilinear: blend the two straddling mip levels (cl.cl:5846-5875)."""
+    lod = jnp.clip(lod, 0.0, bgr.levels - 1.0)
+    lo = jnp.floor(lod).astype(jnp.int32)
+    hi = jnp.ceil(lod).astype(jnp.int32)
+    frac = (lod - jnp.floor(lod))[..., None]
+    v_lo = _bilinear_level(bgr, side, uv, lo)
+    v_hi = _bilinear_level(bgr, side, uv, hi)
+    return v_lo * (1 - frac) + v_hi * frac
+
+
+def _circular_diff(a: Array, b: Array) -> Array:
+    """Shortest wrap-around uv difference (reference ``circular_diff2``)."""
+    d = b - a
+    return d - jnp.round(d)
+
+
+def sample_anisotropic(bgr: Background, tex: Array, side: Array,
+                       max_probes: int = 16, bias_frac: float = 1.3) -> Array:
+    """EWA-style anisotropic filtering over the equirect map
+    (cl.cl:5524-5687): screen-space uv derivatives from neighbouring pixels'
+    texture coords, Heckbert ellipse axes, up to ``max_probes`` gaussian-
+    weighted probes along the major axis.
+
+    ``tex``: (H, W, 2); ``side``: (H, W) int32.  Returns (H, W, 3).
+    """
+    H, W, _ = tex.shape
+
+    tl = tex
+    tr = jnp.concatenate([tex[:, 1:], tex[:, -2:-1]], axis=1)
+    bl = jnp.concatenate([tex[1:], tex[-2:-1]], axis=0)
+    # Edge pixels flip their neighbour direction (cl.cl:5525-5556); the
+    # circular diff makes the sign irrelevant for the ellipse, so clamping
+    # to the inner neighbour suffices.
+
+    dx_vtc = _circular_diff(tl, tr) / bias_frac
+    dy_vtc = _circular_diff(tl, bl) / bias_frac
+
+    w0 = bgr.level_w[0].astype(jnp.float32)
+    h0 = bgr.level_h[0].astype(jnp.float32)
+    du_dx = dx_vtc[..., 0] * w0
+    du_dy = dy_vtc[..., 0] * w0
+    dv_dx = dx_vtc[..., 1] * h0
+    dv_dy = dy_vtc[..., 1] * h0
+
+    # Heckbert ellipse (cl.cl:5577-5601).
+    Ann = dv_dx * dv_dx + dv_dy * dv_dy + 1.0
+    Bnn = -2.0 * (du_dx * dv_dx + du_dy * dv_dy)
+    Cnn = du_dx * du_dx + du_dy * du_dy + 1.0
+    F = Ann * Cnn - Bnn * Bnn / 4.0
+    A = Ann / F
+    B = Bnn / F
+    C = Cnn / F
+    root = jnp.sqrt((A - C) * (A - C) + B * B)
+    a_prime = (A + C - root) / 2.0
+    c_prime = (A + C + root) / 2.0
+    major = jax.lax.rsqrt(jnp.maximum(a_prime, 1e-20))
+    minor = jax.lax.rsqrt(jnp.maximum(c_prime, 1e-20))
+    theta = jnp.arctan2(B, (A - C) / 2.0)
+
+    major = jnp.maximum(jnp.maximum(major, 1.0), minor)
+    minor = jnp.maximum(minor, 1.0)
+
+    f_probes = 2.0 * (major / minor) - 1.0
+    i_probes = jnp.floor(f_probes + 0.5).astype(jnp.int32)
+    i_probes = jnp.minimum(i_probes, max_probes)
+    minor = jnp.where(
+        i_probes.astype(jnp.float32) < f_probes,
+        2.0 * major / (i_probes.astype(jnp.float32) + 1.0),
+        minor,
+    )
+
+    lod = jnp.log2(jnp.maximum(minor, 1e-20))
+    max_lod = bgr.levels - 1.0
+    over = lod > max_lod
+    lod = jnp.where(over, max_lod, lod)
+    i_probes = jnp.where(over, 1, i_probes)
+    i_probes = jnp.maximum(i_probes, 1)
+
+    # Probe walk along the major axis (cl.cl:5636-5687), fixed-bound with
+    # masking: probe cnt contributes iff cnt < i_probes.
+    line_length = 2.0 * (major - minor)
+    np_f = jnp.maximum(i_probes.astype(jnp.float32) - 1.0, 1.0)
+    du = jnp.cos(theta) * line_length / np_f
+    dv = jnp.sin(theta) * line_length / np_f
+
+    odd = (i_probes % 2) == 1
+    start_n = jnp.where(odd, -(i_probes - 1), -i_probes - 1)
+
+    sU = du / w0
+    sV = dv / h0
+    alpha = 2.0
+
+    total = jnp.zeros(tex.shape[:-1] + (3,), dtype=jnp.float32)
+    weight = jnp.zeros(tex.shape[:-1], dtype=jnp.float32)
+    for cnt in range(max_probes):
+        n = start_n + 2 * cnt
+        active = cnt < i_probes
+        d2 = (n.astype(jnp.float32) ** 2 / 4.0) * (du * du + dv * dv) / (
+            major * major
+        )
+        rel_w = jnp.where(active, jnp.exp(-alpha * d2), 0.0)
+        cu = tex[..., 0] + (n.astype(jnp.float32) / 2.0) * sU
+        cv = tex[..., 1] + (n.astype(jnp.float32) / 2.0) * sV
+        uv = jnp.stack([jnp.mod(cu, 1.0), jnp.mod(cv, 1.0)], axis=-1)
+        val = read_mipmap(bgr, side, uv, lod)
+        total = total + rel_w[..., None] * val
+        weight = weight + rel_w
+
+    return total / jnp.maximum(weight, 1e-20)[..., None]

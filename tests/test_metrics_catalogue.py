@@ -1,0 +1,111 @@
+"""Catalogue-wide sanity: every metric evaluates to a finite symmetric (4,4)
+with Lorentzian signature at a generic point, and its coordinate transforms
+round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import geodesic_raytracing_tpu as grt
+from geodesic_raytracing_tpu.metrics import REGISTRY, get_metric
+
+# A generic probe point per coordinate system, away from horizons/axes.
+PROBE = {
+    "X_Y_THETA_PHI": jnp.array([0.3, 5.1, 1.1, 0.7]),
+    "CARTESIAN": jnp.array([0.3, 3.1, 2.2, 1.7]),
+    "CYLINDRICAL": jnp.array([0.3, 3.7, 0.9, 1.3]),
+    "OTHER": None,  # per-metric below
+}
+
+OTHER_PROBES = {
+    "krasnikov_cylindrical": jnp.array([0.3, 3.7, 0.9, 1.3]),
+    "misner_4d": jnp.array([-1.5, 0.4, 1.2, 0.8]),
+    "kerr_rational_polynomial": jnp.array([0.3, 5.1, 0.45, 0.7]),
+}
+
+
+def probe_for(m):
+    if m.name in OTHER_PROBES:
+        return OTHER_PROBES[m.name]
+    return PROBE[m.config.coordinate_system]
+
+
+def test_registry_has_all_31_metrics():
+    # One per reference scripts/*.js (31 metric scripts in the snapshot).
+    assert len(REGISTRY) == 31, sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_metric_evaluates(name):
+    m = get_metric(name)
+    x = probe_for(m)
+    g = m.g(x, m.params())
+    assert g.shape == (4, 4)
+    gn = np.asarray(g)
+    assert np.all(np.isfinite(gn)), gn
+    np.testing.assert_allclose(gn, gn.T, rtol=1e-5, atol=1e-6)
+    # Lorentzian signature: exactly one negative eigenvalue.
+    eigs = np.linalg.eigvalsh(np.asarray(gn, dtype=np.float64))
+    assert (eigs < 0).sum() == 1, eigs
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_metric_partials_finite(name):
+    m = get_metric(name)
+    x = probe_for(m)
+    from geodesic_raytracing_tpu.ops.geometry import metric_and_partials
+
+    g, dg = metric_and_partials(m.fn, x, m.params())
+    assert np.all(np.isfinite(np.asarray(dg))), name
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_coordinate_roundtrip(name):
+    """to_polar(from_polar(x)) == x for metrics with invertible transforms.
+
+    The ingoing-EF-variable pair deliberately never round-trips the time
+    coordinate (scripts/coordinates/polar_to_ingoing_ef_variable.js), and the
+    misner pair is multivalued; spatial coordinates must still round-trip.
+    """
+    m = get_metric(name)
+    params = m.params()
+    polar = jnp.array([0.2, 6.3, 1.2, 0.9])
+    generic = m.from_polar(polar, params)
+    back = m.to_polar(generic, params)
+    if name == "misner_4d":
+        pytest.skip("misner map is multivalued in (T, phi)")
+    np.testing.assert_allclose(
+        np.asarray(back)[1:], np.asarray(polar)[1:], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_schwarzschild_against_closed_form():
+    m = get_metric("schwarzschild")
+    x = jnp.array([0.0, 4.0, jnp.pi / 3, 0.5])
+    g = m.g(x, m.params(rs=1.0))
+    r = 4.0
+    np.testing.assert_allclose(g[0, 0], -(1 - 1 / r), rtol=1e-6)
+    np.testing.assert_allclose(g[1, 1], 1 / (1 - 1 / r), rtol=1e-6)
+    np.testing.assert_allclose(g[2, 2], r * r, rtol=1e-6)
+    np.testing.assert_allclose(
+        g[3, 3], r * r * np.sin(np.pi / 3) ** 2, rtol=1e-6
+    )
+
+
+def test_kerr_reduces_to_schwarzschild_at_zero_spin():
+    kerr = get_metric("kerr_boyer")
+    schw = get_metric("schwarzschild")
+    x = jnp.array([0.0, 4.0, 1.1, 0.7])
+    gk = kerr.g(x, kerr.params(a=0.0))
+    gs = schw.g(x, schw.params())
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gs), atol=1e-5)
+
+
+def test_kerr_schild_reduces_to_schwarzschild_metric_distance():
+    """Kerr-Schild at a=0 is Schwarzschild in Eddington-Finkelstein-like
+    cartesian form; check g_tt agrees with 1 - rs/r."""
+    ks = get_metric("kerr_schild")
+    x = jnp.array([0.0, 3.0, 0.0, 4.0])  # r = 5
+    g = ks.g(x, ks.params(a=0.0))
+    np.testing.assert_allclose(g[0, 0], -(1 - 1.0 / 5.0), rtol=1e-5)
