@@ -1,0 +1,84 @@
+"""Driver benchmark: 1080p Kerr (Boyer-Lindquist) rays/s on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+Baseline: the reference renders 1080p at >= 30 fps on an RX 6700 XT
+(README.md:5) = 62.2 Mrays/s at 1 ray/pixel.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MRAYS = 1920 * 1080 * 30 / 1e6  # 62.2
+
+
+def main() -> int:
+    import jax
+
+    from geodesic_raytracing_tpu import metrics
+    from geodesic_raytracing_tpu.camera import Camera
+    from geodesic_raytracing_tpu.ops.integrate import Features, TraceOptions
+    from geodesic_raytracing_tpu.render import background as bg
+    from geodesic_raytracing_tpu.render.pipeline import (
+        RenderSettings,
+        render_frame,
+    )
+
+    W, H = 1920, 1080
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+
+    metric = metrics.get_metric("kerr_boyer")
+    params = metric.params()
+    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    backgrounds = bg.checker_background()
+    settings = RenderSettings(
+        width=W,
+        height=H,
+        anisotropy=4,
+        trace=TraceOptions(max_steps=16384, method="pallas"),
+    )
+    features = Features.for_metric(metric)
+
+    def frame():
+        img = render_frame(metric, camera, params, backgrounds, settings,
+                           features)
+        return np.asarray(img)  # force host fetch (axon async dispatch)
+
+    try:
+        arr = frame()  # compile + first run
+    except Exception as e:  # pallas path unavailable -> XLA fallback
+        print(f"pallas path failed ({type(e).__name__}: {e}); "
+              "falling back to XLA while-loop", file=sys.stderr)
+        settings = RenderSettings(
+            width=W, height=H, anisotropy=4,
+            trace=TraceOptions(max_steps=16384, method="while"),
+        )
+        arr = frame()
+
+    assert np.isfinite(arr).all(), "non-finite pixels in bench frame"
+
+    times = []
+    for _ in range(frames):
+        t0 = time.perf_counter()
+        frame()
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
+    mrays = W * H / dt / 1e6
+    print(json.dumps({
+        "metric": "kerr_1080p_rays_per_s",
+        "value": round(mrays, 4),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,17 +59,21 @@ def polar_to_polar(x, params):
 
 
 def cartesian_to_polar(x, params):
-    """scripts/coordinates/cartesian_to_polar.js."""
-    t = x[0]
-    p = cartesian_to_polar3(x[1:4])
-    return jnp.concatenate([t[None], p])
+    """scripts/coordinates/cartesian_to_polar.js.  Componentwise (batch-safe)."""
+    t, xx, y, z = x[0], x[1], x[2], x[3]
+    r = jnp.sqrt(xx * xx + y * y + z * z)
+    theta = jnp.arctan2(jnp.sqrt(xx * xx + y * y), z)
+    phi = jnp.arctan2(y, xx)
+    return jnp.stack([t, r, theta, phi])
 
 
 def polar_to_cartesian(x, params):
-    """scripts/coordinates/polar_to_cartesian.js."""
-    t = x[0]
-    c = polar_to_cartesian3(x[1:4])
-    return jnp.concatenate([t[None], c])
+    """scripts/coordinates/polar_to_cartesian.js.  Componentwise (batch-safe)."""
+    t, r, theta, phi = x[0], x[1], x[2], x[3]
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    return jnp.stack(
+        [t, r * st * jnp.cos(phi), r * st * jnp.sin(phi), r * ct]
+    )
 
 
 def cartesian_skew_to_polar(x, params):
@@ -83,9 +87,11 @@ def cartesian_skew_to_polar(x, params):
 
 def polar_to_cartesian_skew(x, params):
     """scripts/coordinates/polar_to_cartesian_skew.js — returns (x, t, y, z)."""
-    t = x[0]
-    c = polar_to_cartesian3(x[1:4])
-    return jnp.stack([c[0], t, c[1], c[2]])
+    t, r, theta, phi = x[0], x[1], x[2], x[3]
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    return jnp.stack(
+        [r * st * jnp.cos(phi), t, r * st * jnp.sin(phi), r * ct]
+    )
 
 
 def cylindrical_to_polar(x, params):
@@ -164,9 +170,11 @@ def misner_4d_to_polar(x, params):
 
 def polar_to_misner_4d(x, params):
     """scripts/coordinates/polar_to_misner_4d.js."""
-    t = x[0]
-    c = polar_to_cartesian3(x[1:4])
-    xx, y, z = c[0], c[1], c[2]
+    t, r, theta, phi = x[0], x[1], x[2], x[3]
+    st = jnp.sin(theta)
+    xx = r * st * jnp.cos(phi)
+    y = r * st * jnp.sin(phi)
+    z = r * jnp.cos(theta)
     mphi = -2.0 * jnp.log((xx - t) / 2.0)
     T = (xx * xx - t * t) / 4.0
     return jnp.stack([T, mphi, y, z])

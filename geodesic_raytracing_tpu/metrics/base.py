@@ -162,11 +162,14 @@ def at_origin(polar: Array, params) -> Array:
 
 def alcubierre_origin(polar: Array, params) -> Array:
     """scripts/origins/alcubierre_origin.js — distance to the moving warp
-    bubble at x = v*t."""
-    t = polar[0]
-    cart = _tr.polar_to_cartesian3(polar[1:4])
-    x_pos = cart[0] - params["velocity"] * t
-    return jnp.sqrt(x_pos * x_pos + cart[1] * cart[1] + cart[2] * cart[2])
+    bubble at x = v*t.  Componentwise, so batch-transparent."""
+    t, r, theta, phi = polar[0], polar[1], polar[2], polar[3]
+    st = jnp.sin(theta)
+    cx = r * st * jnp.cos(phi)
+    cy = r * st * jnp.sin(phi)
+    cz = r * jnp.cos(theta)
+    x_pos = cx - params["velocity"] * t
+    return jnp.sqrt(x_pos * x_pos + cy * cy + cz * cz)
 
 
 ORIGINS = {
@@ -197,6 +200,10 @@ class Metric:
     defaults: Mapping[str, float] = dataclasses.field(default_factory=dict)
     diagonal: bool = False
     spherically_symmetric: bool = False
+    # Coordinates g actually depends on: JVP sweeps and Christoffel terms for
+    # the others are dropped at trace time (the analogue of the reference's
+    # symbolic zero pruning).  Validated by tests/test_metrics_catalogue.
+    depends_on: tuple = (0, 1, 2, 3)
 
     # -- parameter handling --------------------------------------------------
     def params(self, **overrides) -> dict:
@@ -273,24 +280,41 @@ def list_metrics() -> list[str]:
 
 
 def diag_metric(d0, d1, d2, d3) -> Array:
-    """Assemble a diagonal 4x4 metric from its components."""
-    z = jnp.zeros(())
-    d0, d1, d2, d3 = (jnp.asarray(v, dtype=jnp.float32) for v in (d0, d1, d2, d3))
-    return jnp.stack(
-        [
-            jnp.stack([d0, z, z, z]),
-            jnp.stack([z, d1, z, z]),
-            jnp.stack([z, z, d2, z]),
-            jnp.stack([z, z, z, d3]),
-        ]
-    )
+    """Assemble a diagonal 4x4 metric from its components.
+
+    Batch-transparent: scalar components give (4, 4); components of shape
+    ``B`` give (4, 4, *B) — the component-first layout the TPU hot path uses
+    (rays on the lane axis).
+    """
+    return sym_metric({(0, 0): d0, (1, 1): d1, (2, 2): d2, (3, 3): d3})
 
 
 def sym_metric(entries: Mapping[tuple[int, int], Array]) -> Array:
-    """Assemble a symmetric 4x4 metric from an upper-triangle entry dict."""
-    g = jnp.zeros((4, 4), dtype=jnp.float32)
-    for (i, j), v in entries.items():
-        g = g.at[i, j].set(v)
+    """Assemble a symmetric 4x4 metric from an upper-triangle entry dict.
+
+    Batch-transparent like :func:`diag_metric`.
+    """
+    vals = [jnp.asarray(v, dtype=jnp.float32) for v in entries.values()]
+    vals = jnp.broadcast_arrays(*vals) if len(vals) > 1 else vals
+    z = jnp.zeros_like(vals[0])
+    grid = [[z] * 4 for _ in range(4)]
+    for (i, j), v in zip(entries.keys(), vals):
+        grid[i][j] = v
         if i != j:
-            g = g.at[j, i].set(v)
-    return g
+            grid[j][i] = v
+    return jnp.stack([jnp.stack(row) for row in grid])
+
+
+def minkowski_plus(f, lv) -> Array:
+    """eta_ab + f l_a l_b — the Kerr-Schild form, batch-transparent
+    (lv of shape (4,) or (4, *B)).  eta is built from iota so the expression
+    carries no captured array constant (Pallas-legal)."""
+    import jax
+
+    g = f * lv[:, None] * lv[None, :]
+    i = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+    eta = jnp.where(
+        i == j, jnp.where(i == 0, -1.0, 1.0), 0.0
+    ).astype(g.dtype)
+    return g + eta.reshape((4, 4) + (1,) * (g.ndim - 2))

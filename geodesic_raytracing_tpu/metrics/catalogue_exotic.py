@@ -47,6 +47,7 @@ alcubierre = register(
             description="The alcubierre warp drive",
         ),
         defaults={"velocity": 2.0, "sigma": 1.0, "R": 2.0},
+        depends_on=(0, 1, 2, 3),
     )
 )
 
@@ -94,6 +95,7 @@ krasnikov_tube = register(
             description="An FTL space tunnel",
         ),
         defaults={"e": 0.75, "D": 5.0, "pmax": 2.0, "littled": 0.01},
+        depends_on=(0, 1, 2, 3),
     )
 )
 
@@ -137,6 +139,7 @@ krasnikov_cylindrical = register(
             origin_distance="at_origin",
         ),
         defaults={"e": 0.1, "D": 2.0, "pmax": 1.0},
+        depends_on=(0, 1, 3),
     )
 )
 
@@ -173,6 +176,7 @@ misner_4d = register(
             description="Misner spacetime; good for time travel",
         ),
         defaults={"phi0": 1.0},
+        depends_on=(0,),
     )
 )
 
@@ -211,6 +215,7 @@ godel_cylindrical = register(
             description="Godel's metric, a spinning spacetime",
         ),
         defaults={"a": 1000.0},
+        depends_on=(1,),
     )
 )
 
@@ -243,5 +248,6 @@ cosmic_string_spinning = register(
             max_acceleration_change=1e-6,
         ),
         defaults={"a": 0.01, "k": 0.98},
+        depends_on=(1,),
     )
 )

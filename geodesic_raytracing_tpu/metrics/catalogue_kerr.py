@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .base import Metric, diag_metric, make_config, register, sym_metric
+from .base import Metric, diag_metric, make_config, minkowski_plus, register, sym_metric
 
 
 def kerr_boyer_fn(x, params):
@@ -43,6 +43,7 @@ kerr_boyer = register(
             description="An uncharged, spinning black hole",
         ),
         defaults={"rs": 1.0, "a": -0.5},
+        depends_on=(1, 2),
     )
 )
 
@@ -65,8 +66,7 @@ def kerr_schild_fn(x, params):
         ]
     )
     f = rs * r2 * r / (r2 * r2 + a * a * z * z)
-    eta = jnp.diag(jnp.array([-1.0, 1.0, 1.0, 1.0], dtype=jnp.float32))
-    return eta + f * jnp.outer(lv, lv)
+    return minkowski_plus(f, lv)
 
 
 kerr_schild = register(
@@ -83,6 +83,7 @@ kerr_schild = register(
             description="Kerr in Kerr-Schild cartesian coordinates",
         ),
         defaults={"a": -0.5, "rs": 1.0},
+        depends_on=(1, 2, 3),
     )
 )
 
@@ -124,6 +125,7 @@ kerr_ingoing_ef = register(
             description="Kerr with a traversable horizon (ingoing EF)",
         ),
         defaults={"rs": 1.0, "a": -0.5},
+        depends_on=(1, 2),
     )
 )
 
@@ -168,6 +170,7 @@ kerr_newman_boyer = register(
             description="A charged, spinning black hole",
         ),
         defaults={"rs": 1.0, "r2q": 0.51, "a": -0.51},
+        depends_on=(1, 2),
     )
 )
 
@@ -190,8 +193,7 @@ def kerr_newman_schild_fn(x, params):
         ]
     )
     f = (rs * r - Q * Q) * r * r / (r2 * r2 + a * a * z * z)
-    eta = jnp.diag(jnp.array([-1.0, 1.0, 1.0, 1.0], dtype=jnp.float32))
-    return eta + f * jnp.outer(lv, lv)
+    return minkowski_plus(f, lv)
 
 
 kerr_newman_schild = register(
@@ -207,6 +209,7 @@ kerr_newman_schild = register(
             max_acceleration_change=1e-6,
         ),
         defaults={"a": -0.51, "rs": 1.0, "Q": 0.51},
+        depends_on=(1, 2, 3),
     )
 )
 
@@ -251,5 +254,6 @@ kerr_rational_polynomial = register(
             description="Kerr in rational polynomial form",
         ),
         defaults={"m": 0.5, "a": -0.25},
+        depends_on=(1, 2),
     )
 )

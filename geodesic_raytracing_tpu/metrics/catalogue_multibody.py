@@ -73,6 +73,7 @@ double_schwarzschild = register(
             description="Two schwarzschild black holes separated by a string",
         ),
         defaults={"M1": 1.0, "M2": 0.1, "z": 2.0},
+        depends_on=(1, 3),
     )
 )
 
@@ -165,6 +166,7 @@ double_kerr = register(
             description="Two Kerr black holes suspended by a cosmic string",
         ),
         defaults={"R": 3.0, "M": 0.3, "a": 0.27},
+        depends_on=(1, 3),
     )
 )
 
@@ -313,6 +315,7 @@ double_kerr_alt = register(
             description="Two Kerr black holes suspended by a cosmic string",
         ),
         defaults={"R": 4.0, "M": 0.3, "q": 0.2},
+        depends_on=(1, 3),
     )
 )
 
@@ -470,5 +473,6 @@ double_unequal_kerr = register(
             description="Two unequal mass kerr black holes",
         ),
         defaults={"m1": 0.15, "m2": 0.3, "fa1": 1.0, "fa2": -0.3, "R": 4.0},
+        depends_on=(1, 3),
     )
 )

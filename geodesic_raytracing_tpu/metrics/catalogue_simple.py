@@ -28,6 +28,7 @@ minkowski = register(
             description="Totally flat, ordinary spacetime",
         ),
         diagonal=True,
+        depends_on=(),
     )
 )
 
@@ -48,6 +49,7 @@ minkowski_skew = register(
             detect_singularities=False,
         ),
         diagonal=True,
+        depends_on=(),
     )
 )
 
@@ -82,6 +84,7 @@ schwarzschild_fast = register(
         defaults={"rs": 1.0},
         diagonal=True,
         spherically_symmetric=True,
+        depends_on=(1, 2),
     )
 )
 
@@ -97,6 +100,7 @@ schwarzschild = register(
         defaults={"rs": 1.0},
         diagonal=True,
         spherically_symmetric=True,
+        depends_on=(1, 2),
     )
 )
 
@@ -120,6 +124,7 @@ schwarzschild_skewed = register(
         fn=schwarzschild_skewed_fn,
         config=make_config("skewed_polar_base", name="schwarzschild_skewed"),
         diagonal=True,
+        depends_on=(0, 2),
     )
 )
 
@@ -151,6 +156,7 @@ schwarzschild_ingoing_ef = register(
         ),
         defaults={"rs": 1.0},
         spherically_symmetric=True,
+        depends_on=(1, 2),
     )
 )
 
@@ -188,6 +194,7 @@ schwarzschild_ingoing_ef_hawking = register(
         ),
         defaults={"rs_base": 1.0, "lifetime": 1000.0},
         spherically_symmetric=True,
+        depends_on=(0, 1, 2),
     )
 )
 
@@ -214,6 +221,7 @@ de_sitter = register(
         defaults={"cosmological_constant": 0.01},
         diagonal=True,
         spherically_symmetric=True,
+        depends_on=(1, 2),
     )
 )
 
@@ -241,6 +249,7 @@ wormhole = register(
         defaults={"n": 1.0},
         diagonal=True,
         spherically_symmetric=True,
+        depends_on=(1, 2),
     )
 )
 
@@ -274,6 +283,7 @@ configurable_wormhole = register(
         defaults={"M": 0.01, "p": 1.0, "a": 0.001},
         diagonal=True,
         spherically_symmetric=True,
+        depends_on=(1, 2),
     )
 )
 
@@ -310,6 +320,7 @@ ellis_drainhole = register(
         ),
         defaults={"m": 0.5, "n": 1.0},
         spherically_symmetric=True,
+        depends_on=(1, 2),
     )
 )
 
@@ -338,6 +349,7 @@ black_hole_cosmic_string = register(
         ),
         defaults={"rs": 1.0, "B": 0.3},
         diagonal=True,
+        depends_on=(1, 2),
     )
 )
 
@@ -367,6 +379,7 @@ janis_newman_winicour = register(
         defaults={"r0": 1.0, "mu": 4.0},
         diagonal=True,
         spherically_symmetric=True,
+        depends_on=(1, 2),
     )
 )
 
@@ -393,6 +406,7 @@ ernst = register(
         ),
         defaults={"B": 0.0000025, "rs": 1.0},
         diagonal=True,
+        depends_on=(1, 2),
     )
 )
 
@@ -433,5 +447,6 @@ symmetric_warp_drive = register(
         ),
         defaults={},
         diagonal=True,
+        depends_on=(0, 1),
     )
 )

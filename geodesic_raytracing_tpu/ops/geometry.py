@@ -131,6 +131,171 @@ def acceleration_at(g: MetricFn, x: Array, v: Array, params) -> Array:
     return geodesic_acceleration(gab, dgab, v)
 
 
+# ---------------------------------------------------------------------------
+# Batched (component-first) formulation
+#
+# TPU layout note: per-ray ``vmap`` places the 4-vector components on the
+# 128-lane axis (8x128 VPU tiles mostly empty).  The hot path instead keeps
+# rays on the lane axis: states are (4, N), metrics (4, 4, N).  Every metric
+# function in the catalogue is written componentwise (x[0]..x[3] + elementwise
+# jnp), so it evaluates transparently in either convention.
+# ---------------------------------------------------------------------------
+
+def basis_vec4(c: int, x: Array) -> Array:
+    """Coordinate basis vector e_c broadcastable against ``x`` of shape
+    (4, ...).  Built from a 2-D iota (no captured array constants) so it is
+    legal inside Pallas kernels."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
+    idx = idx.reshape((4,) + (1,) * (x.ndim - 1))
+    return (idx == c).astype(x.dtype)
+
+
+def select4(values, x: Array) -> Array:
+    """A (4, 1, ..) constant vector from 4 python floats, Pallas-legal."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
+    idx = idx.reshape((4,) + (1,) * (max(x.ndim, 1) - 1))
+    out = jnp.zeros_like(idx, dtype=x.dtype)
+    for c, v in enumerate(values):
+        out = jnp.where(idx == c, jnp.asarray(v, dtype=x.dtype), out)
+    return out
+
+
+def metric_and_partials_batched(g, x: Array, params,
+                                deps=(0, 1, 2, 3)) -> tuple[Array, list]:
+    """Batched twin of :func:`metric_and_partials` for ``x`` of shape (4, N).
+
+    Returns ``(gab, dgab)`` where ``gab`` is (4, 4, N) and ``dgab`` is a
+    4-list with ``dgab[c]`` = d g / d x^c as (4, 4, N) or ``None`` when the
+    metric is declared independent of coordinate ``c`` (``deps``) — the
+    trace-time sparsity that replaces the reference's symbolic
+    zero-expression pruning (equation_context CSE + debiggen).
+
+    One JVP pass per dependent coordinate — exactly the reference's
+    dual-number sweep (metric.hpp:38-80), one dual seed per coordinate.
+    """
+    f = lambda y: g(y, params)
+    gab = f(x)
+    dgs: list = [None, None, None, None]
+    for c in deps:
+        seed = jnp.broadcast_to(basis_vec4(c, x), x.shape)
+        _, dg = jax.jvp(f, (x,), (seed,))
+        dgs[c] = dg
+    return gab, dgs
+
+
+def inverse44_batched(m: Array) -> Array:
+    """Closed-form 4x4 inverse for component-first batches (4, 4, N)."""
+    a = m
+    s0 = a[0, 0] * a[1, 1] - a[1, 0] * a[0, 1]
+    s1 = a[0, 0] * a[1, 2] - a[1, 0] * a[0, 2]
+    s2 = a[0, 0] * a[1, 3] - a[1, 0] * a[0, 3]
+    s3 = a[0, 1] * a[1, 2] - a[1, 1] * a[0, 2]
+    s4 = a[0, 1] * a[1, 3] - a[1, 1] * a[0, 3]
+    s5 = a[0, 2] * a[1, 3] - a[1, 2] * a[0, 3]
+
+    c5 = a[2, 2] * a[3, 3] - a[3, 2] * a[2, 3]
+    c4 = a[2, 1] * a[3, 3] - a[3, 1] * a[2, 3]
+    c3 = a[2, 1] * a[3, 2] - a[3, 1] * a[2, 2]
+    c2 = a[2, 0] * a[3, 3] - a[3, 0] * a[2, 3]
+    c1 = a[2, 0] * a[3, 2] - a[3, 0] * a[2, 2]
+    c0 = a[2, 0] * a[3, 1] - a[3, 0] * a[2, 1]
+
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    invdet = 1.0 / det
+
+    rows = [
+        [
+            a[1, 1] * c5 - a[1, 2] * c4 + a[1, 3] * c3,
+            -a[0, 1] * c5 + a[0, 2] * c4 - a[0, 3] * c3,
+            a[3, 1] * s5 - a[3, 2] * s4 + a[3, 3] * s3,
+            -a[2, 1] * s5 + a[2, 2] * s4 - a[2, 3] * s3,
+        ],
+        [
+            -a[1, 0] * c5 + a[1, 2] * c2 - a[1, 3] * c1,
+            a[0, 0] * c5 - a[0, 2] * c2 + a[0, 3] * c1,
+            -a[3, 0] * s5 + a[3, 2] * s2 - a[3, 3] * s1,
+            a[2, 0] * s5 - a[2, 2] * s2 + a[2, 3] * s1,
+        ],
+        [
+            a[1, 0] * c4 - a[1, 1] * c2 + a[1, 3] * c0,
+            -a[0, 0] * c4 + a[0, 1] * c2 - a[0, 3] * c0,
+            a[3, 0] * s4 - a[3, 1] * s2 + a[3, 3] * s0,
+            -a[2, 0] * s4 + a[2, 1] * s2 - a[2, 3] * s0,
+        ],
+        [
+            -a[1, 0] * c3 + a[1, 1] * c1 - a[1, 2] * c0,
+            a[0, 0] * c3 - a[0, 1] * c1 + a[0, 2] * c0,
+            -a[3, 0] * s3 + a[3, 1] * s1 - a[3, 2] * s0,
+            a[2, 0] * s3 - a[2, 1] * s1 + a[2, 2] * s0,
+        ],
+    ]
+    return jnp.stack([jnp.stack([e * invdet for e in row]) for row in rows])
+
+
+def acceleration_batched(g, x: Array, v: Array, params,
+                         deps=(0, 1, 2, 3)) -> Array:
+    """Batched geodesic acceleration: x, v of shape (4, N) -> (4, N).
+
+    Same contraction as :func:`geodesic_acceleration` with explicit component
+    loops (unrolled 4x4x4 — XLA fuses them into a handful of VPU ops), with
+    terms dropped at trace time for coordinates the metric does not depend on:
+        S_n  = v^a v^b ( d_a g_nb - 1/2 d_n g_ab )
+        a    = -g^{-1} S
+    """
+    gab, dg = metric_and_partials_batched(g, x, params, deps)
+    # Precompute the 10 unique velocity products.
+    vv = [[v[a] * v[b] if a <= b else None for b in range(4)] for a in range(4)]
+
+    def vvp(a, b):
+        return vv[a][b] if a <= b else vv[b][a]
+
+    S = []
+    for n in range(4):
+        acc = None
+        # term1: v^a v^b d_a g_nb, only a with dg[a] present
+        for a in deps:
+            for b in range(4):
+                t = vvp(a, b) * dg[a][n, b]
+                acc = t if acc is None else acc + t
+        # term2: -1/2 v^a v^b d_n g_ab, only when dg[n] present
+        if dg[n] is not None:
+            for a in range(4):
+                for b in range(a, 4):
+                    w = 1.0 if a == b else 2.0
+                    t = (0.5 * w) * vvp(a, b) * dg[n][a, b]
+                    acc = -t if acc is None else acc - t
+        S.append(acc if acc is not None else jnp.zeros_like(v[0]))
+    ginv = inverse44_batched(gab)
+    out = []
+    for mu in range(4):
+        acc = 0.0
+        for n in range(4):
+            acc = acc + ginv[mu, n] * S[n]
+        out.append(-acc)
+    return jnp.stack(out)
+
+
+def fix_null_batched(gab: Array, v: Array) -> Array:
+    """Batched :func:`fix_null` for gab (4,4,N), v (4,N)."""
+    vs = v.at[0].set(0.0)
+    a = gab[0, 0]
+    b = 2.0 * (gab[0, 0] * vs[0] + gab[0, 1] * vs[1] + gab[0, 2] * vs[2]
+               + gab[0, 3] * vs[3])
+    c = 0.0
+    for i in range(4):
+        for j in range(4):
+            c = c + gab[i, j] * vs[i] * vs[j]
+    disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+    sq = jnp.sqrt(disc)
+    r0 = (-b - sq) / (2.0 * a)
+    r1 = (-b + sq) / (2.0 * a)
+    want = v[0]
+    vt = jnp.where(jnp.abs(r0 - want) < jnp.abs(r1 - want), r0, r1)
+    lin = -c / jnp.where(jnp.abs(b) < 1e-12, 1e-12, b)
+    vt = jnp.where(jnp.abs(a) < 1e-12, lin, vt)
+    return v.at[0].set(vt)
+
+
 def dot_g(gab: Array, u: Array, v: Array) -> Array:
     """g_ab u^a v^b (reference ``dot_product_big``)."""
     return jnp.einsum("ab,a,b->", gab, u, v)

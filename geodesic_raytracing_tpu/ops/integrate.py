@@ -8,9 +8,12 @@ Behavioural twin of the reference's hot loop ``do_generic_rays``
   through a *fixed-bound* loop under masks: a rejected trial simply does not
   commit its state (no retry counter), a terminated ray stops committing and
   its lanes idle until the batch's ``while_loop`` exits.
+* Layout: the hot path keeps rays on the VPU *lane* axis — state is
+  component-first (4, N), metrics (4, 4, N).  A per-ray ``vmap`` layout would
+  put the 4-vectors on the lane axis and waste 124/128 lanes.
 * Per-ray early exit becomes batch-level early exit: the ``lax.while_loop``
-  stops as soon as every ray in the batch has terminated.  Tiling of the image
-  into batches (and the Pallas kernel) recovers the reference's workgroup-level
+  stops as soon as every ray in the batch has terminated.  Tiling the image
+  into batches (see ops/pallas) recovers the reference's workgroup-level
   divergence behaviour.
 * Differentiability: ``trace_rays(..., method="scan")`` runs a fixed-length
   ``lax.scan`` with rematerialisation every ``remat_every`` steps so pixels
@@ -25,8 +28,7 @@ singularity hit, NaN — the reference's bare ``return`` paths).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -77,22 +79,55 @@ class TraceOptions:
 
     max_steps: int = MAX_STEPS_DEFAULT
     reparameterisation: bool = False
-    method: str = "while"  # "while" (fast) | "scan" (differentiable)
+    # "while" (XLA whole-batch), "scan" (differentiable, remat),
+    # "pallas" (tiled TPU kernel with per-tile early exit — the fast path).
+    method: str = "while"
     remat_every: int = 128  # checkpoint window for method="scan"
     unroll: int = 1
+    tile: int = 1024  # ray tile size for method="pallas"
 
 
 class RayState(NamedTuple):
     """Structure-of-arrays ray state (reference ``struct lightray``
-    cl.cl:813-824, minus bookkeeping that lives in the pipeline)."""
+    cl.cl:813-824, minus bookkeeping that lives in the pipeline).
 
-    position: Array  # (..., 4)
-    velocity: Array  # (..., 4)
-    acceleration: Array  # (..., 4)
-    next_ds: Array  # (...,)
-    running_dlambda_dnew: Array  # (...,)
-    status: Array  # (...,) int32
-    steps: Array  # (...,) int32 committed steps
+    Public layout: position/velocity/acceleration (N, 4); scalars (N,).
+    (The integrator transposes to component-first internally.)
+    """
+
+    position: Array
+    velocity: Array
+    acceleration: Array
+    next_ds: Array
+    running_dlambda_dnew: Array
+    status: Array  # int32
+    steps: Array  # int32 committed steps
+
+
+class _StateT(NamedTuple):
+    """Internal transposed state: vectors (4, N)."""
+
+    position: Array
+    velocity: Array
+    acceleration: Array
+    next_ds: Array
+    running_dlambda_dnew: Array
+    status: Array
+    steps: Array
+
+
+def _transpose_in(s: RayState) -> _StateT:
+    return _StateT(
+        s.position.T, s.velocity.T, s.acceleration.T,
+        s.next_ds, s.running_dlambda_dnew, s.status, s.steps,
+    )
+
+
+def _transpose_out(s: _StateT) -> RayState:
+    return RayState(
+        s.position.T, s.velocity.T, s.acceleration.T,
+        s.next_ds, s.running_dlambda_dnew, s.status, s.steps,
+    )
 
 
 def linear_val(value, min_val, max_val, at_min, at_max):
@@ -104,10 +139,11 @@ def linear_val(value, min_val, max_val, at_min, at_max):
 def acceleration_to_precision(acc: Array, max_acceleration, w_v) -> tuple[Array, Array]:
     """cl.cl:3400-3429 — error estimate and ideal next step from acceleration.
 
-    Returns ``(diff, next_ds)``.
+    ``acc`` is component-first (4, N).  Returns ``(diff, next_ds)`` of (N,).
     """
     udiv = jnp.max(w_v)
-    err_scale = jnp.sqrt(jnp.sum((acc * w_v) ** 2, axis=-1)) * 0.01 / udiv
+    wa = acc * w_v.reshape((4,) + (1,) * (acc.ndim - 1))
+    err_scale = jnp.sqrt(jnp.sum(wa * wa, axis=0)) * 0.01 / udiv
     err = max_acceleration
     diff = err_scale * _PRECISION_SCALE
     floor = err * _PRECISION_SCALE / (_MAX_TIMESTEP * _MAX_TIMESTEP)
@@ -116,90 +152,89 @@ def acceleration_to_precision(acc: Array, max_acceleration, w_v) -> tuple[Array,
     return diff, next_ds
 
 
-def make_acceleration_fn(metric: Metric):
-    """Batched geodesic acceleration a(x, v)."""
-
-    def accel_one(x, v, params):
-        return geometry.acceleration_at(metric.fn, x, v, params)
-
-    return jax.vmap(accel_one, in_axes=(0, 0, None))
-
-
-def verlet_step(accel_fn, position, velocity, acceleration, ds, params,
+def verlet_step(metric: Metric, position, velocity, acceleration, ds, params,
                 reparameterisation: bool):
     """cl.cl:3273-3346 — velocity Verlet with optional affine
-    reparameterisation (K = 1/max|v'|)."""
-    ds_ = ds[..., None]
+    reparameterisation (K = 1/max|v'|).  All vectors component-first (4, N).
+    """
+    ds_ = ds[None, :] if position.ndim == 2 else ds
     next_position = position + velocity * ds_ + 0.5 * acceleration * ds_ * ds_
     intermediate_velocity = velocity + acceleration * ds_
-    next_acceleration = accel_fn(next_position, intermediate_velocity, params)
+    next_acceleration = geometry.acceleration_batched(
+        metric.fn, next_position, intermediate_velocity, params,
+        deps=metric.depends_on,
+    )
     next_velocity = velocity + 0.5 * (acceleration + next_acceleration) * ds_
 
     if reparameterisation:
-        max_divisor = jnp.max(jnp.abs(next_velocity), axis=-1)
+        max_divisor = jnp.max(jnp.abs(next_velocity), axis=0)
         K = 1.0 / max_divisor
-    else:
-        K = jnp.ones(ds.shape, dtype=position.dtype)
-
-    return (
-        next_position,
-        next_velocity * K[..., None],
-        next_acceleration * (K * K)[..., None],
-        K,
-    )
+        return (
+            next_position,
+            next_velocity * K[None, :],
+            next_acceleration * (K * K)[None, :],
+            K,
+        )
+    K = jnp.ones(ds.shape, dtype=position.dtype)
+    return next_position, next_velocity, next_acceleration, K
 
 
 def init_ray_state(metric: Metric, position: Array, velocity: Array, params,
                    features: Features, fix_null_velocity: bool = True) -> RayState:
-    """Build the initial RayState from positions/velocities
-    (``geodesic_to_render_ray`` cl.cl:3000-3065: null-fix the velocity, compute
-    the initial acceleration, seed the adaptive step)."""
-    n = position.shape[0]
+    """Build the initial RayState from (N, 4) positions/velocities
+    (``geodesic_to_render_ray`` cl.cl:3000-3065: null-fix the velocity,
+    compute the initial acceleration, seed the adaptive step)."""
+    pos = position.T
+    vel = velocity.T
+    n = pos.shape[1]
 
     if fix_null_velocity:
-        gab = jax.vmap(metric.fn, in_axes=(0, None))(position, params)
-        velocity = jax.vmap(geometry.fix_null)(gab, velocity)
+        gab = metric.fn(pos, params)
+        if gab.ndim == 2:  # constant metric — add a broadcast batch axis
+            gab = gab[..., None]
+        vel = geometry.fix_null_batched(gab, vel)
 
-    accel_fn = make_acceleration_fn(metric)
-    acceleration = accel_fn(position, velocity, params)
+    acc = geometry.acceleration_batched(metric.fn, pos, vel, params,
+                                         deps=metric.depends_on)
 
-    w_v = jnp.array(metric.precision_weights(), dtype=position.dtype)
+    w_v = jnp.array(metric.precision_weights(), dtype=pos.dtype)
     if metric.config.adaptive_precision:
         _, next_ds = acceleration_to_precision(
-            acceleration, features.max_acceleration_change, w_v
+            acc, features.max_acceleration_change, w_v
         )
     else:
-        next_ds = jnp.full((n,), 1e-5, dtype=position.dtype)
+        next_ds = jnp.full((n,), 1e-5, dtype=pos.dtype)
 
     return RayState(
-        position=position,
-        velocity=velocity,
-        acceleration=acceleration,
+        position=pos.T,
+        velocity=vel.T,
+        acceleration=acc.T,
         next_ds=next_ds,
-        running_dlambda_dnew=jnp.ones((n,), dtype=position.dtype),
+        running_dlambda_dnew=jnp.ones((n,), dtype=pos.dtype),
         status=jnp.zeros((n,), dtype=jnp.int32),
         steps=jnp.zeros((n,), dtype=jnp.int32),
     )
 
 
-def _make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
-                  f_in_x: Array):
-    """One masked integrator iteration over the whole ray batch."""
+def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
+                 f_in_x: Array):
+    """One masked integrator iteration over a component-first ray batch.
+
+    Shared by the XLA while/scan drivers and the Pallas tile kernel.
+    """
     cfg = metric.config
-    accel_fn = make_acceleration_fn(metric)
     w_v_const = metric.precision_weights()
 
-    def step(state: RayState, params) -> RayState:
+    def step(state: _StateT, params) -> _StateT:
         pos, vel, acc = state.position, state.velocity, state.acceleration
         dtype = pos.dtype
-        w_v = jnp.array(w_v_const, dtype=dtype)
+        # Built from iota, not a captured array constant (Pallas-legal).
+        w_v = geometry.select4(w_v_const, pos)
 
         active = state.status == ACTIVE
 
-        polar = jax.vmap(metric.to_polar, in_axes=(0, None))(pos, params)
-        r_value = jax.vmap(metric.origin_distance, in_axes=(0, None))(
-            polar, params
-        )
+        polar = metric.to_polar(pos, params)
+        r_value = metric.origin_distance(polar, params)
         abs_r = jnp.abs(r_value)
 
         new_min = jnp.asarray(3.0, dtype)
@@ -220,20 +255,20 @@ def _make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
         )
 
         # Termination tests on the current position (cl.cl:4088-4130).
-        escaped = jnp.abs(polar[:, 1]) >= features.universe_size
+        escaped = jnp.abs(polar[1]) >= features.universe_size
         newly_escaped = escaped
         if cfg.singular:
             newly_escaped = newly_escaped | (
-                jnp.abs(polar[:, 1]) < cfg.singular_terminator
+                jnp.abs(polar[1]) < cfg.singular_terminator
             )
 
-        dead = jnp.zeros_like(escaped)
+        dead = jnp.zeros_like(newly_escaped)
         if cfg.has_cylindrical_singularity:
-            dead = dead | (pos[:, 1] < cfg.cylindrical_terminator)
+            dead = dead | (pos[1] < cfg.cylindrical_terminator)
         if not cfg.unconditionally_nonsingular:
             rd = state.running_dlambda_dnew
-            blowup = (jnp.abs(vel[:, 0] / rd) > 1000.0 + f_in_x) & (
-                jnp.abs(acc[:, 0] / rd) > 100.0
+            blowup = (jnp.abs(vel[0] / rd) > 1000.0 + f_in_x) & (
+                jnp.abs(acc[0] / rd) > 100.0
             )
             dead = dead | blowup
 
@@ -244,7 +279,7 @@ def _make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
 
         # Trial Verlet step (cl.cl:4144-4178).
         npos, nvel, nacc, K = verlet_step(
-            accel_fn, pos, vel, acc, ds, params, opts.reparameterisation
+            metric, pos, vel, acc, ds, params, opts.reparameterisation
         )
 
         commit = active
@@ -268,22 +303,22 @@ def _make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
             commit = active & ~kill & ~skip
             next_ds = jnp.where(active, cand, next_ds)
 
-        cm = commit[:, None]
+        cm = commit[None, :]
         pos = jnp.where(cm, npos, pos)
         vel = jnp.where(cm, nvel, vel)
         acc = jnp.where(cm, nacc, acc)
         rdl = jnp.where(commit, state.running_dlambda_dnew * K,
                         state.running_dlambda_dnew)
 
-        # Degenerate bail-out (IS_DEGENERATE, cl.cl:4234-4237).
-        bad = ~(
-            jnp.all(jnp.isfinite(pos), axis=-1)
-            & jnp.all(jnp.isfinite(vel), axis=-1)
-            & jnp.all(jnp.isfinite(acc), axis=-1)
-        )
+        # Degenerate bail-out (IS_DEGENERATE, cl.cl:4234-4237) — a single
+        # isfinite on the component sum (NaN/Inf propagate through +).
+        probe = (pos[0] + pos[1] + pos[2] + pos[3]
+                 + vel[0] + vel[1] + vel[2] + vel[3]
+                 + acc[0] + acc[1] + acc[2] + acc[3])
+        bad = ~jnp.isfinite(probe)
         status = jnp.where((status == ACTIVE) & bad, DEAD, status)
 
-        return RayState(
+        return _StateT(
             position=pos,
             velocity=vel,
             acceleration=acc,
@@ -308,8 +343,15 @@ def trace_rays(metric: Metric, state: RayState, params,
         ``lax.scan`` with ``jax.checkpoint`` every ``opts.remat_every`` steps;
         reverse-differentiable w.r.t. ``params`` and the initial state.
     """
-    f_in_x = jnp.abs(state.velocity[:, 0])
-    step = _make_step_fn(metric, features, opts, f_in_x)
+    if opts.method == "pallas":
+        from .pallas import trace_rays_pallas  # local import: avoids cycle
+
+        return trace_rays_pallas(metric, state, params, features=features,
+                                 opts=opts, tile=opts.tile)
+
+    st = _transpose_in(state)
+    f_in_x = jnp.abs(st.velocity[0])
+    step = make_step_fn(metric, features, opts, f_in_x)
 
     if opts.method == "while":
         def cond(carry):
@@ -320,11 +362,11 @@ def trace_rays(metric: Metric, state: RayState, params,
             i, s = carry
             return i + 1, step(s, params)
 
-        _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-        return final
+        _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+        return _transpose_out(final)
 
     if opts.method == "scan":
-        inner_n = opts.remat_every
+        inner_n = min(opts.remat_every, opts.max_steps)
         outer_n = -(-opts.max_steps // inner_n)
 
         @jax.checkpoint
@@ -335,7 +377,7 @@ def trace_rays(metric: Metric, state: RayState, params,
             s, _ = jax.lax.scan(inner_body, s, None, length=inner_n)
             return s, None
 
-        final, _ = jax.lax.scan(outer_body, state, None, length=outer_n)
-        return final
+        final, _ = jax.lax.scan(outer_body, st, None, length=outer_n)
+        return _transpose_out(final)
 
     raise ValueError(f"unknown trace method {opts.method!r}")

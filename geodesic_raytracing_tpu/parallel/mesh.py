@@ -1,0 +1,197 @@
+"""Multi-chip scaling: ray-tile data parallelism over a device mesh.
+
+The reference is single-process single-GPU (SURVEY §2.4); its parallel axis is
+"one work-item per pixel".  The TPU-native scaling design (BASELINE.json north
+star) shards the *image plane* as ray tiles across a pod slice:
+
+* rays are embarrassingly parallel -> 1-D ``Mesh`` over a ``"rays"`` axis,
+  ``shard_map`` with ``P("rays")`` on ray arrays, params/backgrounds
+  replicated;
+* the differentiable path all-reduces metric-parameter gradients over ICI
+  (``psum`` inside ``shard_map``) — the only collective this workload needs;
+* image assembly is the out-spec gather; DCN never sees per-step traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .. import camera as cam
+from ..metrics.base import Metric
+from ..ops import integrate
+from ..ops.integrate import Features, TraceOptions
+from ..render import background as bg
+from ..render import pipeline
+
+Array = jax.Array
+
+
+def ray_mesh(devices: Sequence[jax.Device] | None = None,
+             axis: str = "rays") -> Mesh:
+    """1-D device mesh over the ray-tile axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _pad_to(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+def sharded_trace(metric: Metric, mesh: Mesh, state: integrate.RayState,
+                  params, features: Features, opts: TraceOptions):
+    """Trace a ray batch with rays sharded over the mesh.
+
+    Pads the batch to a multiple of the mesh size; the returned state keeps
+    the padded length (callers slice back).
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = state.position.shape[0]
+    n_pad = _pad_to(n, n_dev)
+
+    if n_pad != n:
+        pad = n_pad - n
+
+        def padder(x):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        state = jax.tree.map(padder, state)
+        # Padded rays start DEAD so they never integrate.
+        state = state._replace(
+            status=state.status.at[n:].set(integrate.DEAD)
+        )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(axis), state), P()),
+        out_specs=jax.tree.map(lambda _: P(axis), state),
+        check_rep=False,
+    )
+    def run(shard, p):
+        return integrate.trace_rays(metric, shard, p, features=features,
+                                    opts=opts)
+
+    return run(state, params)
+
+
+def sharded_render_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
+                         params, backgrounds: bg.Background,
+                         settings: pipeline.RenderSettings,
+                         features: Features | None = None) -> Array:
+    """Full frame render with the trace stage sharded over the mesh.
+
+    Ray init and shading are cheap elementwise/gather stages left to XLA's
+    default sharding propagation; the integrator loop (~all of the work)
+    runs under shard_map.
+    """
+    if features is None:
+        features = Features.for_metric(metric)
+    state, ku = pipeline.init_camera_rays(metric, camera, params, settings,
+                                          features)
+    n = state.position.shape[0]
+    final = sharded_trace(metric, mesh, state, params, features,
+                          settings.trace)
+    final = jax.tree.map(lambda x: x[:n], final)
+    rdata = pipeline.compute_render_data(metric, final, ku, params, features)
+    return pipeline.shade(rdata, backgrounds, settings)
+
+
+def make_train_step(metric: Metric, mesh: Mesh,
+                    settings: pipeline.RenderSettings,
+                    features: Features | None = None):
+    """Build a jitted DP training step: fit metric parameters to a target
+    image by gradient descent through the (remat-scan) integrator.
+
+    Per-device: trace + shade the local ray shard, local L2 loss, local
+    parameter gradient.  Cross-device: a single ``psum`` over ICI for loss
+    and gradients, overlapped with the backward sweep by XLA.  This is the
+    differentiable-rendering capability the reference lacks (SURVEY §7.7-7.8).
+
+    Returns ``step(params, camera, target_image, backgrounds, lr)``
+    -> ``(new_params, loss)``.
+    """
+    if features is None:
+        features = Features.for_metric(metric)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    opts = settings.trace
+    if opts.method != "scan":
+        opts = TraceOptions(
+            max_steps=opts.max_steps, reparameterisation=opts.reparameterisation,
+            method="scan", remat_every=opts.remat_every, unroll=opts.unroll,
+        )
+
+    W, H = settings.width, settings.height
+    n_rays = W * H
+    assert n_rays % n_dev == 0, (
+        f"image pixels ({n_rays}) must divide the mesh ({n_dev} devices)"
+    )
+
+    def local_loss(params, camera, dirs, target_slice, backgrounds):
+        # Rebuild the (tiny, replicated) camera tetrad locally; trace the
+        # ray shard; shade; L2 against the target shard.
+        position = pipeline.camera_to_generic(metric, camera, params)
+        es = cam.observer_tetrad(
+            metric, position, params, basis_speed3=camera.basis_speed,
+            orient=True,
+        )
+        sign = 1.0 if metric.config.follow_geodesics_forward else -1.0
+        velocity = (
+            dirs[:, 0:1] * es[1][None, :]
+            + dirs[:, 1:2] * es[2][None, :]
+            + dirs[:, 2:3] * es[3][None, :]
+            + sign * es[0][None, :]
+        )
+        positions = jnp.broadcast_to(position, velocity.shape)
+        state = integrate.init_ray_state(metric, positions, velocity, params,
+                                         features)
+        final = integrate.trace_rays(metric, state, params, features=features,
+                                     opts=opts)
+        gab = metric.fn(position, params)
+        ku = state.velocity @ (gab @ es[0])
+        rdata = pipeline.compute_render_data(metric, final, ku, params,
+                                             features)
+        rgb = bg.read_mipmap(
+            backgrounds, rdata.side, rdata.tex_coord,
+            jnp.zeros(rdata.side.shape),
+        )
+        rgb = jnp.where(
+            (rdata.terminated == integrate.ESCAPED)[..., None], rgb, 0.0
+        )
+        return jnp.sum((rgb - target_slice) ** 2) / n_rays
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis, None), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def loss_and_grad(params, camera, dirs, target, backgrounds):
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, camera, dirs, target, backgrounds
+        )
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+        return loss, grads
+
+    @jax.jit
+    def step(params, camera, target_image, backgrounds, lr):
+        dirs = cam.pixel_directions(W, H, camera.quat, settings.fov_degrees)
+        dirs = dirs.reshape(-1, 3)
+        target = target_image.reshape(-1, 3)
+        loss, grads = loss_and_grad(params, camera, dirs, target, backgrounds)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss
+
+    return step

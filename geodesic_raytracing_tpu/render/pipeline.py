@@ -261,6 +261,12 @@ def trace_frame(metric: Metric, camera: cam.Camera, params,
     """Trace only (no shading) — returns (final RayState, ku_uobsu)."""
     if features is None:
         features = Features.for_metric(metric)
+    return _trace_frame_jit(metric, camera, params, settings, features)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "settings"))
+def _trace_frame_jit(metric: Metric, camera: cam.Camera, params,
+                     settings: RenderSettings, features: Features):
     state, ku = init_camera_rays(metric, camera, params, settings, features)
     final = integrate.trace_rays(
         metric, state, params, features=features, opts=settings.trace

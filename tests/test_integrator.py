@@ -1,0 +1,194 @@
+"""Integrator physics anchors (SURVEY §4): straight lines in Minkowski,
+photon-sphere capture threshold, conserved quantities on Kerr, null-norm
+drift, and Pallas/XLA agreement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geodesic_raytracing_tpu import metrics
+from geodesic_raytracing_tpu.ops import geometry
+from geodesic_raytracing_tpu.ops.integrate import (
+    ACTIVE,
+    DEAD,
+    ESCAPED,
+    Features,
+    TraceOptions,
+    init_ray_state,
+    trace_rays,
+)
+from geodesic_raytracing_tpu.ops.pallas import trace_rays_pallas
+
+
+def make_rays(n, r0=7.0, angles=None):
+    pos = np.tile([0.0, r0, np.pi / 2, 0.0], (n, 1)).astype(np.float32)
+    if angles is None:
+        angles = np.linspace(0.05, 0.8, n)
+    vel = np.stack(
+        [
+            np.ones(n),
+            -np.cos(angles),
+            np.zeros(n),
+            np.sin(angles) / r0,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return jnp.asarray(pos), jnp.asarray(vel)
+
+
+def test_minkowski_rays_travel_straight():
+    m = metrics.get_metric("minkowski")
+    params = m.params()
+    n = 8
+    # cartesian coordinates: start at origin-ish, random directions
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pos = np.zeros((n, 4), dtype=np.float32)
+    pos[:, 1] = 0.5
+    vel = np.concatenate([np.ones((n, 1)), dirs], axis=1).astype(np.float32)
+    feats = Features.for_metric(m)
+    st = init_ray_state(m, jnp.asarray(pos), jnp.asarray(vel), params, feats)
+    fin = trace_rays(m, st, params, features=feats,
+                     opts=TraceOptions(max_steps=512))
+    # All escape the universe sphere...
+    assert np.all(np.asarray(fin.status) == ESCAPED)
+    # ...and the displacement is parallel to the initial direction.
+    disp = np.asarray(fin.position)[:, 1:] - pos[:, 1:]
+    disp /= np.linalg.norm(disp, axis=1, keepdims=True)
+    np.testing.assert_allclose(disp, dirs, atol=1e-4)
+
+
+def test_schwarzschild_capture_threshold():
+    """Critical impact parameter b_crit = 3*sqrt(3)/2 * rs ~ 2.598: rays
+    aimed closer than that are captured (dead/black), farther escape."""
+    m = metrics.get_metric("schwarzschild")
+    params = m.params()
+    r0 = 7.0
+    n = 24
+    b_crit = 3 * np.sqrt(3) / 2
+    angles = np.arcsin(
+        np.linspace(0.55, 1.15, n) * b_crit * np.sqrt(1 - 1 / r0) / r0
+    )
+    pos, vel = make_rays(n, r0, angles)
+    feats = Features.for_metric(m)
+    st = init_ray_state(m, pos, vel, params, feats)
+    # Exact impact parameter from the null-fixed initial state: b = L/E with
+    # E = -g_tt tdot, L = g_phiphi phidot (equatorial Schwarzschild Killing
+    # invariants).
+    gab = np.asarray(jax.vmap(m.fn, in_axes=(0, None))(st.position, params))
+    v0 = np.asarray(st.velocity)
+    E = -gab[:, 0, 0] * v0[:, 0]
+    L = gab[:, 3, 3] * v0[:, 3]
+    b = np.abs(L / E)
+    fin = trace_rays(m, st, params, features=feats,
+                     opts=TraceOptions(max_steps=16384))
+    status = np.asarray(fin.status)
+    captured = status != ESCAPED
+    # Allow a one-sample band around the threshold (fp32 + adaptive steps).
+    assert np.all(captured[b < b_crit * 0.97]), (b, status)
+    assert np.all(~captured[b > b_crit * 1.03]), (b, status)
+
+
+def test_kerr_conserved_quantities():
+    """Energy E = -g_t.v and angular momentum L = g_phi.v are Killing
+    invariants along Kerr geodesics; check drift stays small."""
+    m = metrics.get_metric("kerr_boyer")
+    params = m.params()
+    pos, vel = make_rays(6, 7.0, np.linspace(0.35, 0.5, 6))
+    feats = Features.for_metric(m)
+    st = init_ray_state(m, pos, vel, params, feats)
+
+    def invariants(state):
+        x = state.position.T
+        v = state.velocity.T / state.running_dlambda_dnew[None, :]
+        gab = m.fn(x, params)
+        E = -(gab[0, 0] * v[0] + gab[0, 1] * v[1] + gab[0, 2] * v[2]
+              + gab[0, 3] * v[3])
+        L = (gab[3, 0] * v[0] + gab[3, 1] * v[1] + gab[3, 2] * v[2]
+             + gab[3, 3] * v[3])
+        return np.asarray(E), np.asarray(L)
+
+    E0, L0 = invariants(st)
+    fin = trace_rays(m, st, params, features=feats,
+                     opts=TraceOptions(max_steps=16384))
+    E1, L1 = invariants(fin)
+    esc = np.asarray(fin.status) == ESCAPED
+    assert esc.any()
+    np.testing.assert_allclose(E1[esc], E0[esc], rtol=2e-2)
+    np.testing.assert_allclose(L1[esc], L0[esc], rtol=2e-2)
+
+
+def test_null_norm_drift():
+    """g(v, v) = 0 at init (fix_null) and stays small along the ray."""
+    m = metrics.get_metric("schwarzschild")
+    params = m.params()
+    pos, vel = make_rays(6, 7.0, np.linspace(0.5, 0.8, 6))
+    feats = Features.for_metric(m)
+    st = init_ray_state(m, pos, vel, params, feats)
+
+    def null_norm(state):
+        x = state.position.T
+        v = state.velocity.T / state.running_dlambda_dnew[None, :]
+        gab = m.fn(x, params)
+        out = 0.0
+        for i in range(4):
+            for j in range(4):
+                out = out + gab[i, j] * v[i] * v[j]
+        return np.asarray(out)
+
+    nn0 = null_norm(st)
+    np.testing.assert_allclose(nn0, 0.0, atol=1e-5)
+    fin = trace_rays(m, st, params, features=feats,
+                     opts=TraceOptions(max_steps=16384))
+    esc = np.asarray(fin.status) == ESCAPED
+    nn1 = null_norm(fin)
+    # normalise by E^2-ish scale (velocities are O(1))
+    assert np.all(np.abs(nn1[esc]) < 5e-2), nn1
+
+
+def test_scan_method_matches_while():
+    m = metrics.get_metric("schwarzschild")
+    params = m.params()
+    pos, vel = make_rays(8)
+    feats = Features.for_metric(m)
+    st = init_ray_state(m, pos, vel, params, feats)
+    a = trace_rays(m, st, params, features=feats,
+                   opts=TraceOptions(max_steps=512, method="while"))
+    b = trace_rays(m, st, params, features=feats,
+                   opts=TraceOptions(max_steps=512, method="scan",
+                                     remat_every=64))
+    np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
+    np.testing.assert_allclose(
+        np.asarray(a.position), np.asarray(b.position), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("name", ["schwarzschild", "kerr_boyer", "kerr_schild"])
+def test_pallas_interpret_matches_xla(name):
+    m = metrics.get_metric(name)
+    params = m.params()
+    if m.config.coordinate_system == "CARTESIAN":
+        pos = np.tile([0.0, 0.0, -7.0, 0.0], (32, 1)).astype(np.float32)
+        ang = np.linspace(0.05, 0.6, 32)
+        vel = np.stack(
+            [np.ones(32), np.sin(ang), np.cos(ang), np.zeros(32)], -1
+        ).astype(np.float32)
+        pos, vel = jnp.asarray(pos), jnp.asarray(vel)
+    else:
+        pos, vel = make_rays(32)
+    feats = Features.for_metric(m)
+    st = init_ray_state(m, pos, vel, params, feats)
+    opts = TraceOptions(max_steps=1024)
+    ref = trace_rays(m, st, params, features=feats, opts=opts)
+    pal = trace_rays_pallas(m, st, params, features=feats, opts=opts,
+                            tile=16, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(ref.status), np.asarray(pal.status)
+    )
+    ok = np.asarray(ref.status) == ESCAPED
+    np.testing.assert_allclose(
+        np.asarray(ref.position)[ok], np.asarray(pal.position)[ok],
+        rtol=1e-4, atol=1e-4,
+    )

@@ -109,3 +109,23 @@ def test_kerr_schild_reduces_to_schwarzschild_metric_distance():
     x = jnp.array([0.0, 3.0, 0.0, 4.0])  # r = 5
     g = ks.g(x, ks.params(a=0.0))
     np.testing.assert_allclose(g[0, 0], -(1 - 1.0 / 5.0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_depends_on_claims(name):
+    """The declared dependency set must cover every coordinate the metric
+    actually varies with (finite-difference probe)."""
+    m = get_metric(name)
+    x = probe_for(m)
+    params = m.params()
+    eps = 1e-3
+    g0 = np.asarray(m.g(x, params), dtype=np.float64)
+    for c in range(4):
+        dx = jnp.zeros(4).at[c].set(eps)
+        g1 = np.asarray(m.g(x + dx, params), dtype=np.float64)
+        varies = np.max(np.abs(g1 - g0)) > 1e-5
+        if c not in m.depends_on:
+            assert not varies, (
+                f"{name} varies with coordinate {c} but depends_on="
+                f"{m.depends_on}"
+            )
