@@ -41,7 +41,8 @@ def main() -> int:
         width=W,
         height=H,
         anisotropy=4,
-        trace=TraceOptions(max_steps=16384, method="pallas"),
+        adaptive_sampling=True,  # reference default (main.cpp:1152)
+        trace=TraceOptions(max_steps=16384, method="pallas", tile=8192),
     )
     features = Features.for_metric(metric)
 

@@ -44,6 +44,9 @@ def main(argv=None) -> int:
                     metavar=("VX", "VY", "VZ"),
                     help="observer 3-velocity in the tetrad frame (|v| < 1)")
     ap.add_argument("--redshift", action="store_true")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="adaptive sampling: quarter-density trace + "
+                         "error-driven refinement (reference default)")
     ap.add_argument("--max-steps", type=int, default=16384)
     ap.add_argument("--frames", type=int, default=10, help="bench frame count")
     ap.add_argument("--anisotropy", type=int, default=8)
@@ -102,6 +105,7 @@ def main(argv=None) -> int:
         fov_degrees=args.fov,
         anisotropy=args.anisotropy,
         redshift=args.redshift,
+        adaptive_sampling=args.adaptive,
         trace=TraceOptions(max_steps=args.max_steps),
     )
     features = Features.for_metric(metric)

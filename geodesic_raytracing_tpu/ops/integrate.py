@@ -85,6 +85,9 @@ class TraceOptions:
     remat_every: int = 128  # checkpoint window for method="scan"
     unroll: int = 1
     tile: int = 1024  # ray tile size for method="pallas"
+    # Phase lengths for active-ray compaction between Pallas launches
+    # (empty = single launch).  E.g. (256, 1024, 4096).
+    compaction: tuple = ()
 
 
 class RayState(NamedTuple):
@@ -217,10 +220,12 @@ def init_ray_state(metric: Metric, position: Array, velocity: Array, params,
 
 
 def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
-                 f_in_x: Array):
+                 f_in_x: Array, with_ds: bool = False):
     """One masked integrator iteration over a component-first ray batch.
 
     Shared by the XLA while/scan drivers and the Pallas tile kernel.
+    With ``with_ds`` the step also returns the committed step sizes
+    (0 where nothing committed) — used by the geodesic recorder.
     """
     cfg = metric.config
     w_v_const = metric.precision_weights()
@@ -318,7 +323,7 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
         bad = ~jnp.isfinite(probe)
         status = jnp.where((status == ACTIVE) & bad, DEAD, status)
 
-        return _StateT(
+        out = _StateT(
             position=pos,
             velocity=vel,
             acceleration=acc,
@@ -327,6 +332,9 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
             status=status,
             steps=state.steps + commit.astype(jnp.int32),
         )
+        if with_ds:
+            return out, jnp.where(commit, ds, 0.0)
+        return out
 
     return step
 
@@ -344,10 +352,16 @@ def trace_rays(metric: Metric, state: RayState, params,
         reverse-differentiable w.r.t. ``params`` and the initial state.
     """
     if opts.method == "pallas":
-        from .pallas import trace_rays_pallas  # local import: avoids cycle
+        from .pallas import raymarch  # local import: avoids cycle
 
-        return trace_rays_pallas(metric, state, params, features=features,
-                                 opts=opts, tile=opts.tile)
+        if opts.compaction:
+            return raymarch.trace_rays_pallas_compacted(
+                metric, state, params, features=features, opts=opts,
+                tile=opts.tile, phases=opts.compaction,
+            )
+        return raymarch.trace_rays_pallas(metric, state, params,
+                                          features=features, opts=opts,
+                                          tile=opts.tile)
 
     st = _transpose_in(state)
     f_in_x = jnp.abs(st.velocity[0])

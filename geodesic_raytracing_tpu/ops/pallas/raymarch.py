@@ -39,45 +39,96 @@ def _flatten_params(params: dict):
     return keys, vec
 
 
+SUBLANES = 8  # f32 VPU sublane count: ray tiles are laid out (8, tile/8)
+
+
+def trace_rays_pallas_compacted(metric: Metric, state: RayState, params,
+                                features: Features = Features(),
+                                opts: TraceOptions = TraceOptions(),
+                                tile: int = DEFAULT_TILE,
+                                phases=(256, 1024, 4096),
+                                interpret: bool = False) -> RayState:
+    """Phase-wise trace with active-ray compaction between phases.
+
+    A tile iterates until its *slowest* ray terminates, so a few
+    photon-ring/pole rays can cost thousands of near-empty iterations across
+    many tiles.  Remedy: march everyone ``phases[0]`` steps, then gather the
+    survivors (typically a few %) into a dense prefix via a stable sort and
+    march only those further.  This replaces the reference's per-work-item
+    early exit (cl.cl do_generic_rays ``return``) at batch scale — the
+    TPU-native answer to SURVEY §7 hard-part (b) "per-ray divergence".
+
+    The final phase always runs to ``opts.max_steps`` so the step budget
+    matches the uncompacted path.
+    """
+    import dataclasses as _dc
+
+    n = state.position.shape[0]
+    order = jnp.arange(n)
+    st = state
+
+    all_phases = tuple(phases) + (opts.max_steps,)
+    for phase_steps in all_phases:
+        popts = _dc.replace(opts, max_steps=min(phase_steps, opts.max_steps))
+        st = trace_rays_pallas(metric, st, params, features=features,
+                               opts=popts, tile=tile, interpret=interpret)
+        active = st.status == integrate.ACTIVE
+        # Stable partition: active rays first, everyone else keeps order.
+        perm = jnp.argsort(~active, stable=True)
+        st = jax.tree.map(lambda x: x[perm], st)
+        order = order[perm]
+
+    inv = jnp.argsort(order)
+    return jax.tree.map(lambda x: x[inv], st)
+
+
 def trace_rays_pallas(metric: Metric, state: RayState, params,
                       features: Features = Features(),
                       opts: TraceOptions = TraceOptions(),
                       tile: int = DEFAULT_TILE,
                       interpret: bool = False) -> RayState:
-    """Pallas-tiled twin of :func:`integrate.trace_rays` (while method)."""
+    """Pallas-tiled twin of :func:`integrate.trace_rays` (while method).
+
+    Rays are packed per tile into full (8, tile/8) VPU registers — a flat
+    (tile,) vector would occupy one sublane in eight.
+    """
+    assert tile % SUBLANES == 0, "tile must be a multiple of 8"
+    lanes = tile // SUBLANES
     n = state.position.shape[0]
     n_pad = -(-n // tile) * tile
+    n_tiles = n_pad // tile
 
     pos = state.position.T
     vel = state.velocity.T
     acc = state.acceleration.T
     f_in_x = jnp.abs(vel[0])
 
-    def pad_v(x):  # (4, N) -> (4, n_pad)
-        return jnp.pad(x, ((0, 0), (0, n_pad - n)))
+    def pack_v(x, fill=0.0):  # (4, N) -> (n_tiles, 4, 8, lanes)
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n)), constant_values=fill)
+        return x.reshape(4, n_tiles, SUBLANES, lanes).transpose(1, 0, 2, 3)
 
-    def pad_s(x, fill=0):  # (N,) -> (1, n_pad)
-        return jnp.pad(x[None, :], ((0, 0), (0, n_pad - n)),
-                       constant_values=fill)
+    def pack_s(x, fill=0):  # (N,) -> (n_tiles, 8, lanes)
+        x = jnp.pad(x, ((0, n_pad - n),), constant_values=fill)
+        return x.reshape(n_tiles, SUBLANES, lanes)
 
-    pos, vel, acc = pad_v(pos), pad_v(vel), pad_v(acc)
-    next_ds = pad_s(state.next_ds)
-    rdl = pad_s(state.running_dlambda_dnew, 1)
-    status = pad_s(state.status, integrate.DEAD)
-    steps = pad_s(state.steps)
-    finx = pad_s(f_in_x)
+    pos_p, vel_p, acc_p = pack_v(pos), pack_v(vel), pack_v(acc)
+    next_ds = pack_s(state.next_ds)
+    rdl = pack_s(state.running_dlambda_dnew, 1)
+    status = pack_s(state.status, integrate.DEAD)
+    steps = pack_s(state.steps)
+    finx = pack_s(f_in_x)
 
     pkeys, pvec = _flatten_params(params)
     fvec = jnp.stack([jnp.asarray(v, dtype=jnp.float32) for v in features])
 
-    grid = (n_pad // tile,)
+    grid = (n_tiles,)
 
     def vspec():
-        return pl.BlockSpec((4, tile), lambda i: (0, i),
+        return pl.BlockSpec((1, 4, SUBLANES, lanes), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def sspec():
-        return pl.BlockSpec((1, tile), lambda i: (0, i),
+        return pl.BlockSpec((1, SUBLANES, lanes), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def kernel(pvec_ref, fvec_ref,
@@ -89,15 +140,15 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
         kfeatures = Features(*(fvec_ref[i] for i in range(len(features))))
 
         st0 = _StateT(
-            position=pos_ref[:, :],
-            velocity=vel_ref[:, :],
-            acceleration=acc_ref[:, :],
-            next_ds=ds_ref[0, :],
-            running_dlambda_dnew=rdl_ref[0, :],
-            status=status_ref[0, :],
-            steps=steps_ref[0, :],
+            position=pos_ref[0],
+            velocity=vel_ref[0],
+            acceleration=acc_ref[0],
+            next_ds=ds_ref[0],
+            running_dlambda_dnew=rdl_ref[0],
+            status=status_ref[0],
+            steps=steps_ref[0],
         )
-        step = integrate.make_step_fn(metric, kfeatures, opts, finx_ref[0, :])
+        step = integrate.make_step_fn(metric, kfeatures, opts, finx_ref[0])
 
         def cond(carry):
             i, s = carry
@@ -109,23 +160,19 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
 
         _, fin = jax.lax.while_loop(cond, body, (jnp.int32(0), st0))
 
-        opos_ref[:, :] = fin.position
-        ovel_ref[:, :] = fin.velocity
-        oacc_ref[:, :] = fin.acceleration
-        ods_ref[0, :] = fin.next_ds
-        ordl_ref[0, :] = fin.running_dlambda_dnew
-        ostatus_ref[0, :] = fin.status
-        osteps_ref[0, :] = fin.steps
+        opos_ref[0] = fin.position
+        ovel_ref[0] = fin.velocity
+        oacc_ref[0] = fin.acceleration
+        ods_ref[0] = fin.next_ds
+        ordl_ref[0] = fin.running_dlambda_dnew
+        ostatus_ref[0] = fin.status
+        osteps_ref[0] = fin.steps
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((4, n_pad), pos.dtype),
-        jax.ShapeDtypeStruct((4, n_pad), vel.dtype),
-        jax.ShapeDtypeStruct((4, n_pad), acc.dtype),
-        jax.ShapeDtypeStruct((1, n_pad), next_ds.dtype),
-        jax.ShapeDtypeStruct((1, n_pad), rdl.dtype),
-        jax.ShapeDtypeStruct((1, n_pad), status.dtype),
-        jax.ShapeDtypeStruct((1, n_pad), steps.dtype),
-    )
+    def vshape(dtype):
+        return jax.ShapeDtypeStruct((n_tiles, 4, SUBLANES, lanes), dtype)
+
+    def sshape(dtype):
+        return jax.ShapeDtypeStruct((n_tiles, SUBLANES, lanes), dtype)
 
     outs = pl.pallas_call(
         kernel,
@@ -138,17 +185,28 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
         ],
         out_specs=(vspec(), vspec(), vspec(),
                    sspec(), sspec(), sspec(), sspec()),
-        out_shape=out_shapes,
+        out_shape=(
+            vshape(pos.dtype), vshape(vel.dtype), vshape(acc.dtype),
+            sshape(next_ds.dtype), sshape(rdl.dtype),
+            sshape(status.dtype), sshape(steps.dtype),
+        ),
         interpret=interpret,
-    )(pvec, fvec, pos, vel, acc, next_ds, rdl, status, steps, finx)
+    )(pvec, fvec, pos_p, vel_p, acc_p, next_ds, rdl, status, steps, finx)
 
     opos, ovel, oacc, ods, ordl, ostatus, osteps = outs
+
+    def unpack_v(x):  # (n_tiles, 4, 8, lanes) -> (N, 4)
+        return x.transpose(1, 0, 2, 3).reshape(4, n_pad)[:, :n].T
+
+    def unpack_s(x):
+        return x.reshape(n_pad)[:n]
+
     return RayState(
-        position=opos[:, :n].T,
-        velocity=ovel[:, :n].T,
-        acceleration=oacc[:, :n].T,
-        next_ds=ods[0, :n],
-        running_dlambda_dnew=ordl[0, :n],
-        status=ostatus[0, :n],
-        steps=osteps[0, :n],
+        position=unpack_v(opos),
+        velocity=unpack_v(ovel),
+        acceleration=unpack_v(oacc),
+        next_ds=unpack_s(ods),
+        running_dlambda_dnew=unpack_s(ordl),
+        status=unpack_s(ostatus),
+        steps=unpack_s(osteps),
     )

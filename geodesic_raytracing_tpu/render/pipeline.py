@@ -28,12 +28,14 @@ Array = jax.Array
 
 class RenderData(NamedTuple):
     """Per-pixel shading inputs (reference ``struct render_data``
-    cl.cl:5066-5074)."""
+    cl.cl:5066-5074).  ``angles`` keeps the snapped (theta, phi) so the
+    adaptive sampler can measure angular error without re-deriving it."""
 
     tex_coord: Array  # (N, 2) in [0,1]^2
     z_shift: Array  # (N,)
     side: Array  # (N,) int32: 1 = r>=0 universe, 0 = far side
     terminated: Array  # (N,) int32 status
+    angles: Array  # (N, 2) snapped (theta, phi)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +49,11 @@ class RenderSettings:
     redshift: bool = False
     flip_geodesic_direction: bool = False
     trace: TraceOptions = TraceOptions()
+    # Reference defaults: adaptive sampling on (main.cpp:1152), threshold 64
+    # pixels-of-angle (main.cpp:1155); prepass per metric config.
+    adaptive_sampling: bool = False
+    adaptive_threshold: float = 64.0
+    prepass_scale: int = 16
 
 
 # ---------------------------------------------------------------------------
@@ -59,29 +66,45 @@ def camera_to_generic(metric: Metric, camera: cam.Camera, params) -> Array:
     return metric.from_polar(camera.polar_position, params)
 
 
-def init_camera_rays(metric: Metric, camera: cam.Camera, params,
-                     settings: RenderSettings,
-                     features: Features = Features()):
-    """Build the per-pixel null ray batch (``init_rays_generic``
-    cl.cl:3143-3251 + ``geodesic_to_render_ray`` cl.cl:3000-3065).
-
-    Returns ``(state, ku_uobsu)`` with arrays flattened to N = W*H.
-    """
-    W, H = settings.width, settings.height
+def camera_frame(metric: Metric, camera: cam.Camera, params):
+    """Generic camera position + oriented, boosted observer tetrad."""
     position = camera_to_generic(metric, camera, params)
     es = cam.observer_tetrad(
         metric, position, params, basis_speed3=camera.basis_speed, orient=True
     )
+    return position, es
 
-    dirs = cam.pixel_directions(W, H, camera.quat, settings.fov_degrees)
-    dirs = dirs.reshape(-1, 3)
 
+def _trace_sign(metric: Metric, settings: RenderSettings) -> float:
     sign = -1.0  # backwards-in-affine-time tracing (cl.cl:3196-3206)
     if metric.config.follow_geodesics_forward:
         sign = 1.0
     if settings.flip_geodesic_direction:
         sign = -sign
+    return sign
 
+
+def rays_for_pixels(metric: Metric, camera: cam.Camera, position, es, params,
+                    settings: RenderSettings, features: Features,
+                    cx: Array, cy: Array):
+    """Null rays for arbitrary pixel index arrays (``init_rays_generic``
+    cl.cl:3143-3251 + ``geodesic_to_render_ray`` cl.cl:3000-3065).
+
+    ``cx``/``cy`` are flat float arrays of pixel coordinates in the full
+    W x H image.  Returns ``(state, ku_uobsu)``.
+    """
+    W, H = settings.width, settings.height
+    fov_rad = settings.fov_degrees * jnp.pi / 180.0
+    f_stop = (W / 2) / jnp.tan(fov_rad / 2)
+    d = jnp.stack(
+        [cx - W / 2.0, cy - H / 2.0,
+         jnp.broadcast_to(jnp.asarray(f_stop, jnp.float32), cx.shape)],
+        axis=-1,
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dirs = jax.vmap(lambda v: cam.rot_quat(v, camera.quat))(d)
+
+    sign = _trace_sign(metric, settings)
     velocity = (
         dirs[:, 0:1] * es[1][None, :]
         + dirs[:, 1:2] * es[2][None, :]
@@ -100,6 +123,20 @@ def init_camera_rays(metric: Metric, camera: cam.Camera, params,
     uobs_low = gab @ es[0]
     ku_uobsu = state.velocity @ uobs_low
     return state, ku_uobsu
+
+
+def init_camera_rays(metric: Metric, camera: cam.Camera, params,
+                     settings: RenderSettings,
+                     features: Features = Features()):
+    """Full-image ray batch, flattened to N = W*H (row-major)."""
+    W, H = settings.width, settings.height
+    position, es = camera_frame(metric, camera, params)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return rays_for_pixels(metric, camera, position, es, params, settings,
+                           features, xx.reshape(-1), yy.reshape(-1))
 
 
 # ---------------------------------------------------------------------------
@@ -192,13 +229,217 @@ def compute_render_data(metric: Metric, state: RayState, ku_uobsu: Array,
                 integrate.DEAD,
                 status,
             )
-        return tex, z_shift, side, status_out
+        return tex, z_shift, side, status_out, snapped[1:]
 
-    tex, z, side, status = jax.vmap(one)(
+    tex, z, side, status, ang = jax.vmap(one)(
         state.position, state.velocity, state.running_dlambda_dnew,
         ku_uobsu, state.status,
     )
-    return RenderData(tex_coord=tex, z_shift=z, side=side, terminated=status)
+    return RenderData(tex_coord=tex, z_shift=z, side=side, terminated=status,
+                      angles=ang)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive sampling + prepass (reference defaults: main.cpp:1152-1155,
+# handle_adaptive_sampling cl.cl:5223-5344, prepass cl.cl:4997-5020 +
+# init_rays_generic:3213-3232)
+# ---------------------------------------------------------------------------
+
+def _ang_to_vec(angles: Array) -> Array:
+    """(theta, phi) -> unit 3-vector, component-last."""
+    th, ph = angles[..., 0], angles[..., 1]
+    st = jnp.sin(th)
+    return jnp.stack([st * jnp.cos(ph), st * jnp.sin(ph), jnp.cos(th)],
+                     axis=-1)
+
+
+def _vec_to_ang(v: Array) -> Array:
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [jnp.arctan2(jnp.sqrt(x * x + y * y), z), jnp.arctan2(y, x)], axis=-1
+    )
+
+
+def _angle_between(a1: Array, a2: Array) -> Array:
+    """Great-circle angle between two (theta, phi) fields
+    (``angle_between_angles2`` cl.cl:5216-5221)."""
+    d = jnp.sum(_ang_to_vec(a1) * _ang_to_vec(a2), axis=-1)
+    return jnp.arccos(jnp.clip(d, -1.0, 1.0))
+
+
+def _interp_rdata(c: RenderData, o: RenderData) -> RenderData:
+    """``interpolate_render_data`` (cl.cl:5111-5133): midpoint on the sphere,
+    averaged z_shift, centre's terminated flag."""
+    vc = (_ang_to_vec(c.angles) + _ang_to_vec(o.angles)) / 2.0
+    ang = _vec_to_ang(vc)
+    return RenderData(
+        tex_coord=angle_to_tex(ang),
+        z_shift=(c.z_shift + o.z_shift) / 2.0,
+        side=(c.side + o.side) // 2,
+        terminated=c.terminated,
+        angles=ang,
+    )
+
+
+def _prepass_kill_mask(metric: Metric, camera: cam.Camera, params,
+                       settings: RenderSettings, features: Features,
+                       position, es, cx: Array, cy: Array) -> Array:
+    """True where a full-res ray may skip tracing because the low-res prepass
+    found its whole neighbourhood terminates black."""
+    import dataclasses as _dc
+
+    W, H = settings.width, settings.height
+    pw = max(W // settings.prepass_scale, 4)
+    ph = max(H // settings.prepass_scale, 4)
+    psettings = _dc.replace(settings, width=pw, height=ph,
+                            adaptive_sampling=False)
+    pyy, pxx = jnp.meshgrid(
+        jnp.arange(ph, dtype=jnp.float32), jnp.arange(pw, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pstate, _ = rays_for_pixels(metric, camera, position, es, params,
+                                psettings, features,
+                                pxx.reshape(-1), pyy.reshape(-1))
+    pfin = integrate.trace_rays(metric, pstate, params, features=features,
+                                opts=settings.trace)
+    # "terminated cleanly into black" = dead (calculate_singularities
+    # cl.cl:5008-5020 marks rays whose fate is the singularity).
+    dead = (pfin.status == integrate.DEAD).reshape(ph, pw)
+
+    lx = jnp.round(cx / W * pw).astype(jnp.int32)
+    ly = jnp.round(cy / H * ph).astype(jnp.int32)
+
+    def probe(dx, dy):
+        xx = jnp.clip(lx + dx, 0, pw - 1)
+        yy = jnp.clip(ly + dy, 0, ph - 1)
+        inb = ((lx + dx >= 0) & (lx + dx <= pw - 1)
+               & (ly + dy >= 0) & (ly + dy <= ph - 1))
+        return jnp.where(inb, dead[yy, xx], False)
+
+    # All five probes dead -> skip (should_early_terminate x5,
+    # cl.cl:3213-3232; out-of-bounds counts as not-terminating).
+    return (probe(-1, 0) & probe(0, 0) & probe(1, 0) & probe(0, -1)
+            & probe(0, 1))
+
+
+def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
+                         settings: RenderSettings, features: Features
+                         ) -> RenderData:
+    """Quarter-density trace + error-driven refinement + optional prepass.
+
+    The reference's atomic variable-length refinement list (cl.cl:5294)
+    becomes a dense masked batch: all 3N/4 refinement rays exist, but rays in
+    blocks below the error threshold start DEAD and cost (almost) nothing in
+    the tiled Pallas march.
+    """
+    W, H = settings.width, settings.height
+    assert W % 2 == 0 and H % 2 == 0, "adaptive sampling needs even dims"
+    Wh, Hh = W // 2, H // 2
+    position, es = camera_frame(metric, camera, params)
+
+    # --- quarter pass (even pixels) -------------------------------------
+    qyy, qxx = jnp.meshgrid(
+        2.0 * jnp.arange(Hh, dtype=jnp.float32),
+        2.0 * jnp.arange(Wh, dtype=jnp.float32),
+        indexing="ij",
+    )
+    qcx, qcy = qxx.reshape(-1), qyy.reshape(-1)
+    qstate, qku = rays_for_pixels(metric, camera, position, es, params,
+                                  settings, features, qcx, qcy)
+    if metric.config.use_prepass:
+        kill = _prepass_kill_mask(metric, camera, params, settings, features,
+                                  position, es, qcx, qcy)
+        qstate = qstate._replace(
+            status=jnp.where(kill, integrate.DEAD, qstate.status)
+        )
+    qfin = integrate.trace_rays(metric, qstate, params, features=features,
+                                opts=settings.trace)
+    qr = compute_render_data(metric, qfin, qku, params, features)
+
+    def grid(x):
+        return x.reshape((Hh, Wh) + x.shape[1:])
+
+    qg = RenderData(*(grid(f) for f in qr))
+
+    # --- refinement decision (cl.cl:5240-5285) --------------------------
+    def shift(x, dy, dx):
+        return jnp.roll(x, (-dy, -dx), axis=(0, 1))
+
+    left = jax.tree.map(lambda x: shift(x, 0, -1), qg)
+    right = jax.tree.map(lambda x: shift(x, 0, 1), qg)
+    up = jax.tree.map(lambda x: shift(x, -1, 0), qg)
+    down = jax.tree.map(lambda x: shift(x, 1, 0), qg)
+    down_right = jax.tree.map(lambda x: shift(x, 1, 1), qg)
+
+    x_err = _angle_between(left.angles, right.angles)
+    y_err = _angle_between(down.angles, up.angles)
+    # (2*ax + 2*ay)/4/2*pi, reference operator precedence preserved.
+    rel_err = (2.0 * x_err + 2.0 * y_err) / 8.0 * jnp.pi
+
+    fov_rad = settings.fov_degrees * 2.0 * jnp.pi / 360.0
+    per_pixel = fov_rad / W
+    should = rel_err >= per_pixel * settings.adaptive_threshold
+    mism = (
+        (qg.terminated != left.terminated)
+        | (qg.terminated != right.terminated)
+        | (qg.terminated != up.terminated)
+        | (qg.terminated != down.terminated)
+        | (qg.terminated != down_right.terminated)
+    )
+    should = should | mism
+    border = jnp.zeros((Hh, Wh), dtype=bool)
+    border = border.at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    should = should | border
+
+    # --- refinement pass: 3 rays per sampled block ----------------------
+    offsets = ((1, 0), (0, 1), (1, 1))
+    rcx = jnp.concatenate([qcx + ox for ox, oy in offsets])
+    rcy = jnp.concatenate([qcy + oy for ox, oy in offsets])
+    rmask = jnp.concatenate([should.reshape(-1)] * 3)
+    rstate, rku = rays_for_pixels(metric, camera, position, es, params,
+                                  settings, features, rcx, rcy)
+    rstate = rstate._replace(
+        status=jnp.where(rmask, rstate.status, integrate.DEAD)
+    )
+    rfin = integrate.trace_rays(metric, rstate, params, features=features,
+                                opts=settings.trace)
+    rr = compute_render_data(metric, rfin, rku, params, features)
+    nq = Wh * Hh
+    rparts = [
+        RenderData(*(grid(f[i * nq:(i + 1) * nq]) for f in rr))
+        for i in range(3)
+    ]
+
+    # --- assemble full image -------------------------------------------
+    interp_r = _interp_rdata(qg, right)
+    interp_d = _interp_rdata(qg, down)
+    interp_dr = _interp_rdata(qg, down_right)
+
+    def pick(traced, interp):
+        return jax.tree.map(
+            lambda t, i: jnp.where(
+                should.reshape(should.shape + (1,) * (t.ndim - 2)), t, i
+            ),
+            traced, interp,
+        )
+
+    cell_r = pick(rparts[0], interp_r)
+    cell_d = pick(rparts[1], interp_d)
+    cell_dr = pick(rparts[2], interp_dr)
+
+    def assemble(q, r, d, dr):
+        out = jnp.zeros((H, W) + q.shape[2:], dtype=q.dtype)
+        out = out.at[0::2, 0::2].set(q)
+        out = out.at[0::2, 1::2].set(r)
+        out = out.at[1::2, 0::2].set(d)
+        out = out.at[1::2, 1::2].set(dr)
+        return out.reshape((H * W,) + q.shape[2:])
+
+    return RenderData(
+        *(assemble(q, r, d, dr)
+          for q, r, d, dr in zip(qg, cell_r, cell_d, cell_dr))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -247,11 +488,16 @@ def render_frame(metric: Metric, camera: cam.Camera, params,
 def _render_frame_jit(metric: Metric, camera: cam.Camera, params,
                       backgrounds: bg.Background, settings: RenderSettings,
                       features: Features) -> Array:
-    state, ku = init_camera_rays(metric, camera, params, settings, features)
-    final = integrate.trace_rays(
-        metric, state, params, features=features, opts=settings.trace
-    )
-    rdata = compute_render_data(metric, final, ku, params, features)
+    if settings.adaptive_sampling:
+        rdata = render_data_adaptive(metric, camera, params, settings,
+                                     features)
+    else:
+        state, ku = init_camera_rays(metric, camera, params, settings,
+                                     features)
+        final = integrate.trace_rays(
+            metric, state, params, features=features, opts=settings.trace
+        )
+        rdata = compute_render_data(metric, final, ku, params, features)
     return shade(rdata, backgrounds, settings)
 
 
