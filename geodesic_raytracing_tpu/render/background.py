@@ -58,7 +58,10 @@ def _downsample2(img: np.ndarray) -> np.ndarray:
 def build_background(image: np.ndarray, image2: np.ndarray | None = None,
                      levels: int = MIP_LEVELS) -> Background:
     """Build the mip atlas from (H, W, 3) float32 linear images
-    (``load_mipped_image`` graphics_settings.cpp:152-212)."""
+    (``load_mipped_image`` graphics_settings.cpp:152-212).  The box-filter
+    chain runs in the native runtime library when available."""
+    from .. import runtime
+
     image = np.asarray(image, dtype=np.float32)
     if image2 is None:
         image2 = image
@@ -68,20 +71,9 @@ def build_background(image: np.ndarray, image2: np.ndarray | None = None,
     H, W, _ = image.shape
     levels = min(levels, int(np.log2(min(H, W))) + 1)
 
-    atlas = np.zeros((2, H, 2 * W, 3), dtype=np.float32)
-    lw, lh, lx = [], [], []
-    for s, img in enumerate((image, image2)):
-        cur = img
-        x = 0
-        for l in range(levels):
-            h, w, _ = cur.shape
-            atlas[s, :h, x : x + w, :] = cur
-            if s == 0:
-                lw.append(w)
-                lh.append(h)
-                lx.append(x)
-            x += w
-            cur = _downsample2(cur)
+    a1, lw, lh, lx = runtime.build_mips(image, max_levels=levels)
+    a2, _, _, _ = runtime.build_mips(image2, max_levels=levels)
+    atlas = np.stack([a1, a2])
 
     return Background(
         atlas=jnp.asarray(atlas),

@@ -56,17 +56,93 @@ def redshift_colour(v: Array, z: Array) -> Array:
     return jnp.clip(result, 0.0, 1.0)
 
 
-def apply_redshift(lin_rgb: Array, z_shift: Array) -> Array:
+def linear_rgb_to_xyz(c: Array) -> Array:
+    """cl.cl:5770-5778."""
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    return jnp.stack(
+        [
+            0.4124564 * r + 0.3575761 * g + 0.1804375 * b,
+            0.2126729 * r + 0.7151522 * g + 0.0721750 * b,
+            0.0193339 * r + 0.1191920 * g + 0.9503041 * b,
+        ],
+        axis=-1,
+    )
+
+
+# DOMINANT_COLOUR anchors (cl.cl:5736-5744): wavelengths and chromaticity
+# angles of the sRGB primaries around the white point.
+_R_WL, _G_WL, _B_WL = 612.0, 549.0, 464.0
+_R_ANG, _G_ANG, _B_ANG = -2.161580, 1.695013, -0.010759
+
+
+def dominant_wavelength(lin_rgb: Array) -> Array:
+    """Estimate each pixel's dominant wavelength from its chromaticity angle,
+    interpolating between the sRGB primary anchors — the reference's
+    ``DOMINANT_COLOUR`` redshift variant (cl.cl:5724-5792).  (The full CIE
+    1931 horseshoe table in chromaticity.hpp backs an unused experiment; the
+    shipping kernel only uses these anchors.)"""
+    xyz = linear_rgb_to_xyz(lin_rgb)
+    s = jnp.maximum(xyz.sum(-1), 1e-5)
+    xy = xyz[..., :2] / s[..., None]
+    v = xy - (1.0 / 3.0)
+
+    def anchor(a):
+        return jnp.stack([jnp.cos(a), jnp.sin(a)])
+
+    vr, vg, vb = anchor(_R_ANG), anchor(_G_ANG), anchor(_B_ANG)
+
+    def between(v1, v2):
+        c1 = v1[1] * v2[0] - v1[0] * v2[1]
+        c2 = v1[1] * v[..., 0] - v1[0] * v[..., 1]
+        return c1 * c2 < 0
+
+    def ang(v1, v2):
+        n1 = v1 / jnp.linalg.norm(v1)
+        if v2.ndim == 1:
+            n2 = v2 / jnp.linalg.norm(v2)
+            return jnp.arccos(jnp.clip(n1 @ n2, -1, 1))
+        n2 = v2 / jnp.maximum(
+            jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-9
+        )
+        return jnp.arccos(jnp.clip(n2 @ n1, -1, 1))
+
+    in_rg = between(vr, vg)
+    in_gb = between(vg, vb)
+
+    def lerp_wl(p1, p2, w1, w2):
+        frac = ang(p1, v) / jnp.maximum(ang(p1, p2), 1e-9)
+        return w1 + (w2 - w1) * frac
+
+    wl = jnp.where(
+        in_rg, lerp_wl(vr, vg, _R_WL, _G_WL),
+        jnp.where(in_gb, lerp_wl(vg, vb, _G_WL, _B_WL),
+                  lerp_wl(vr, vb, _R_WL, _B_WL)),
+    )
+    return wl
+
+
+def apply_redshift(lin_rgb: Array, z_shift: Array,
+                   dominant_colour: bool = False) -> Array:
     """Full redshift pipeline on linear RGB (cl.cl:5689-5846):
-    I/nu^3 Lorentz-invariant luminance rescale at the reference wavelength
-    (555 nm, the peak of human vision), then the hue-shift model."""
+    I/nu^3 Lorentz-invariant luminance rescale at the test wavelength, then
+    the hue-shift model.  ``dominant_colour`` estimates a per-pixel test
+    wavelength from chromaticity instead of the 555 nm human-vision peak."""
     rel_lum = (
         0.2126 * lin_rgb[..., 0]
         + 0.7152 * lin_rgb[..., 1]
         + 0.0722 * lin_rgb[..., 2]
     )
-    # local_wavelength / test_wavelength = 1 / (z + 1)  =>  factor (z+1)^-3.
-    new_rel = jnp.clip(rel_lum / (z_shift + 1.0) ** 3, 0.0, 1.0)
+    if dominant_colour:
+        test_wl = dominant_wavelength(lin_rgb)
+    else:
+        test_wl = 555.0
+    # local_wavelength = test / (z+1)  =>  I scales by (z+1)^-3 regardless of
+    # the absolute wavelength (cl.cl:5794-5812); the wavelength only matters
+    # through future spectral models, kept for parity.
+    local_wl = test_wl / (z_shift + 1.0)
+    new_rel = jnp.clip(
+        rel_lum * (local_wl / test_wl) ** 3, 0.0, 1.0
+    )
     scale = jnp.where(rel_lum > 1e-5, new_rel / jnp.maximum(rel_lum, 1e-20), 1.0)
     out = jnp.clip(lin_rgb * scale[..., None], 0.0, 1.0)
     return redshift_colour(out, z_shift)

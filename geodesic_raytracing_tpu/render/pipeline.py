@@ -14,6 +14,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import camera as cam
 from ..coordinates import transforms as tr
@@ -281,31 +282,12 @@ def _interp_rdata(c: RenderData, o: RenderData) -> RenderData:
     )
 
 
-def _prepass_kill_mask(metric: Metric, camera: cam.Camera, params,
-                       settings: RenderSettings, features: Features,
-                       position, es, cx: Array, cy: Array) -> Array:
-    """True where a full-res ray may skip tracing because the low-res prepass
-    found its whole neighbourhood terminates black."""
-    import dataclasses as _dc
-
-    W, H = settings.width, settings.height
-    pw = max(W // settings.prepass_scale, 4)
-    ph = max(H // settings.prepass_scale, 4)
-    psettings = _dc.replace(settings, width=pw, height=ph,
-                            adaptive_sampling=False)
-    pyy, pxx = jnp.meshgrid(
-        jnp.arange(ph, dtype=jnp.float32), jnp.arange(pw, dtype=jnp.float32),
-        indexing="ij",
-    )
-    pstate, _ = rays_for_pixels(metric, camera, position, es, params,
-                                psettings, features,
-                                pxx.reshape(-1), pyy.reshape(-1))
-    pfin = integrate.trace_rays(metric, pstate, params, features=features,
-                                opts=settings.trace)
-    # "terminated cleanly into black" = dead (calculate_singularities
-    # cl.cl:5008-5020 marks rays whose fate is the singularity).
-    dead = (pfin.status == integrate.DEAD).reshape(ph, pw)
-
+@jax.jit
+def _prepass_kill(dead: Array, cx: Array, cy: Array, W: int, H: int) -> Array:
+    """Full-res kill mask from the low-res prepass dead map: a ray skips
+    tracing when its prepass cell and 4 neighbours all terminate black
+    (should_early_terminate x5, cl.cl:3213-3232)."""
+    ph, pw = dead.shape
     lx = jnp.round(cx / W * pw).astype(jnp.int32)
     ly = jnp.round(cy / H * ph).astype(jnp.int32)
 
@@ -316,10 +298,47 @@ def _prepass_kill_mask(metric: Metric, camera: cam.Camera, params,
                & (ly + dy >= 0) & (ly + dy <= ph - 1))
         return jnp.where(inb, dead[yy, xx], False)
 
-    # All five probes dead -> skip (should_early_terminate x5,
-    # cl.cl:3213-3232; out-of-bounds counts as not-terminating).
     return (probe(-1, 0) & probe(0, 0) & probe(1, 0) & probe(0, -1)
             & probe(0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "settings"))
+def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
+                             settings: RenderSettings, features: Features,
+                             cx: Array, cy: Array, kill: Array | None):
+    """One trace stage as its own XLA program.
+
+    Kept separate (rather than inlined into one whole-frame program) because
+    each stage holds a Mosaic kernel and programs with several Mosaic kernels
+    compile pathologically slowly through the remote TPU compile service.
+    """
+    position, es = camera_frame(metric, camera, params)
+    state, ku = rays_for_pixels(metric, camera, position, es, params,
+                                settings, features, cx, cy)
+    if kill is not None:
+        state = state._replace(
+            status=jnp.where(kill, integrate.DEAD, state.status)
+        )
+    fin = integrate.trace_rays(metric, state, params, features=features,
+                               opts=settings.trace)
+    return compute_render_data(metric, fin, ku, params, features)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "settings"))
+def _prepass_dead_map(metric: Metric, camera: cam.Camera, params,
+                      settings: RenderSettings, features: Features):
+    position, es = camera_frame(metric, camera, params)
+    W, H = settings.width, settings.height
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pstate, _ = rays_for_pixels(metric, camera, position, es, params,
+                                settings, features,
+                                xx.reshape(-1), yy.reshape(-1))
+    pfin = integrate.trace_rays(metric, pstate, params, features=features,
+                                opts=settings.trace)
+    return (pfin.status == integrate.DEAD).reshape(H, W)
 
 
 def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
@@ -332,29 +351,32 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
     blocks below the error threshold start DEAD and cost (almost) nothing in
     the tiled Pallas march.
     """
+    import dataclasses as _dc
+
     W, H = settings.width, settings.height
     assert W % 2 == 0 and H % 2 == 0, "adaptive sampling needs even dims"
     Wh, Hh = W // 2, H // 2
-    position, es = camera_frame(metric, camera, params)
 
     # --- quarter pass (even pixels) -------------------------------------
-    qyy, qxx = jnp.meshgrid(
-        2.0 * jnp.arange(Hh, dtype=jnp.float32),
-        2.0 * jnp.arange(Wh, dtype=jnp.float32),
+    qyy, qxx = np.meshgrid(
+        2.0 * np.arange(Hh, dtype=np.float32),
+        2.0 * np.arange(Wh, dtype=np.float32),
         indexing="ij",
     )
-    qcx, qcy = qxx.reshape(-1), qyy.reshape(-1)
-    qstate, qku = rays_for_pixels(metric, camera, position, es, params,
-                                  settings, features, qcx, qcy)
+    qcx = jnp.asarray(qxx.reshape(-1))
+    qcy = jnp.asarray(qyy.reshape(-1))
+
+    kill = None
     if metric.config.use_prepass:
-        kill = _prepass_kill_mask(metric, camera, params, settings, features,
-                                  position, es, qcx, qcy)
-        qstate = qstate._replace(
-            status=jnp.where(kill, integrate.DEAD, qstate.status)
-        )
-    qfin = integrate.trace_rays(metric, qstate, params, features=features,
-                                opts=settings.trace)
-    qr = compute_render_data(metric, qfin, qku, params, features)
+        pw = max(W // settings.prepass_scale, 4)
+        ph = max(H // settings.prepass_scale, 4)
+        psettings = _dc.replace(settings, width=pw, height=ph,
+                                adaptive_sampling=False)
+        dead = _prepass_dead_map(metric, camera, params, psettings, features)
+        kill = _prepass_kill(dead, qcx, qcy, W, H)
+
+    qr = _traced_rdata_for_pixels(metric, camera, params, settings, features,
+                                  qcx, qcy, kill)
 
     def grid(x):
         return x.reshape((Hh, Wh) + x.shape[1:])
@@ -362,49 +384,15 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
     qg = RenderData(*(grid(f) for f in qr))
 
     # --- refinement decision (cl.cl:5240-5285) --------------------------
-    def shift(x, dy, dx):
-        return jnp.roll(x, (-dy, -dx), axis=(0, 1))
-
-    left = jax.tree.map(lambda x: shift(x, 0, -1), qg)
-    right = jax.tree.map(lambda x: shift(x, 0, 1), qg)
-    up = jax.tree.map(lambda x: shift(x, -1, 0), qg)
-    down = jax.tree.map(lambda x: shift(x, 1, 0), qg)
-    down_right = jax.tree.map(lambda x: shift(x, 1, 1), qg)
-
-    x_err = _angle_between(left.angles, right.angles)
-    y_err = _angle_between(down.angles, up.angles)
-    # (2*ax + 2*ay)/4/2*pi, reference operator precedence preserved.
-    rel_err = (2.0 * x_err + 2.0 * y_err) / 8.0 * jnp.pi
-
-    fov_rad = settings.fov_degrees * 2.0 * jnp.pi / 360.0
-    per_pixel = fov_rad / W
-    should = rel_err >= per_pixel * settings.adaptive_threshold
-    mism = (
-        (qg.terminated != left.terminated)
-        | (qg.terminated != right.terminated)
-        | (qg.terminated != up.terminated)
-        | (qg.terminated != down.terminated)
-        | (qg.terminated != down_right.terminated)
-    )
-    should = should | mism
-    border = jnp.zeros((Hh, Wh), dtype=bool)
-    border = border.at[0, :].set(True).at[-1, :].set(True)
-    border = border.at[:, 0].set(True).at[:, -1].set(True)
-    should = should | border
+    should = _adaptive_should_sample(qg, settings)
 
     # --- refinement pass: 3 rays per sampled block ----------------------
     offsets = ((1, 0), (0, 1), (1, 1))
     rcx = jnp.concatenate([qcx + ox for ox, oy in offsets])
     rcy = jnp.concatenate([qcy + oy for ox, oy in offsets])
-    rmask = jnp.concatenate([should.reshape(-1)] * 3)
-    rstate, rku = rays_for_pixels(metric, camera, position, es, params,
-                                  settings, features, rcx, rcy)
-    rstate = rstate._replace(
-        status=jnp.where(rmask, rstate.status, integrate.DEAD)
-    )
-    rfin = integrate.trace_rays(metric, rstate, params, features=features,
-                                opts=settings.trace)
-    rr = compute_render_data(metric, rfin, rku, params, features)
+    rkill = ~jnp.concatenate([should.reshape(-1)] * 3)
+    rr = _traced_rdata_for_pixels(metric, camera, params, settings, features,
+                                  rcx, rcy, rkill)
     nq = Wh * Hh
     rparts = [
         RenderData(*(grid(f[i * nq:(i + 1) * nq]) for f in rr))
@@ -412,6 +400,56 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
     ]
 
     # --- assemble full image -------------------------------------------
+    return _adaptive_assemble(qg, rparts[0], rparts[1], rparts[2], should,
+                              settings)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _adaptive_should_sample(qg: RenderData, settings: RenderSettings) -> Array:
+    """Per-quarter-block refinement decision (cl.cl:5240-5285)."""
+    Hh, Wh = qg.terminated.shape
+    W = settings.width
+
+    def shift(x, dy, dx):
+        return jnp.roll(x, (-dy, -dx), axis=(0, 1))
+
+    x_err = _angle_between(shift(qg.angles, 0, -1), shift(qg.angles, 0, 1))
+    y_err = _angle_between(shift(qg.angles, 1, 0), shift(qg.angles, -1, 0))
+    # (2*ax + 2*ay)/4/2*pi, reference operator precedence preserved.
+    rel_err = (2.0 * x_err + 2.0 * y_err) / 8.0 * jnp.pi
+
+    fov_rad = settings.fov_degrees * 2.0 * jnp.pi / 360.0
+    per_pixel = fov_rad / W
+    should = rel_err >= per_pixel * settings.adaptive_threshold
+    t = qg.terminated
+    mism = (
+        (t != shift(t, 0, -1))
+        | (t != shift(t, 0, 1))
+        | (t != shift(t, -1, 0))
+        | (t != shift(t, 1, 0))
+        | (t != shift(t, 1, 1))
+    )
+    should = should | mism
+    border = jnp.zeros((Hh, Wh), dtype=bool)
+    border = border.at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    return should | border
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _adaptive_assemble(qg: RenderData, r0: RenderData, r1: RenderData,
+                       r2: RenderData, should: Array,
+                       settings: RenderSettings) -> RenderData:
+    """Merge traced/interpolated cells into full-resolution RenderData."""
+    W, H = settings.width, settings.height
+
+    def shiftall(x, dy, dx):
+        return jax.tree.map(lambda a: jnp.roll(a, (-dy, -dx), axis=(0, 1)), x)
+
+    right = shiftall(qg, 0, 1)
+    down = shiftall(qg, 1, 0)
+    down_right = shiftall(qg, 1, 1)
+
     interp_r = _interp_rdata(qg, right)
     interp_d = _interp_rdata(qg, down)
     interp_dr = _interp_rdata(qg, down_right)
@@ -424,9 +462,9 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
             traced, interp,
         )
 
-    cell_r = pick(rparts[0], interp_r)
-    cell_d = pick(rparts[1], interp_d)
-    cell_dr = pick(rparts[2], interp_dr)
+    cell_r = pick(r0, interp_r)
+    cell_d = pick(r1, interp_d)
+    cell_dr = pick(r2, interp_dr)
 
     def assemble(q, r, d, dr):
         out = jnp.zeros((H, W) + q.shape[2:], dtype=q.dtype)
@@ -475,9 +513,18 @@ def shade(rdata: RenderData, backgrounds: bg.Background,
 def render_frame(metric: Metric, camera: cam.Camera, params,
                  backgrounds: bg.Background, settings: RenderSettings,
                  features: Features | None = None) -> Array:
-    """Trace and shade a full frame.  Returns (H, W, 3) linear RGB."""
+    """Trace and shade a full frame.  Returns (H, W, 3) linear RGB.
+
+    The adaptive path is orchestrated from the host as a handful of separate
+    XLA programs (prepass / quarter / refine / shade) — see
+    ``_traced_rdata_for_pixels`` for why they are not fused into one.
+    """
     if features is None:
         features = Features.for_metric(metric)
+    if settings.adaptive_sampling:
+        rdata = render_data_adaptive(metric, camera, params, settings,
+                                     features)
+        return _shade_jit(rdata, backgrounds, settings)
     return _render_frame_jit(metric, camera, params, backgrounds, settings,
                              features)
 
@@ -488,17 +535,15 @@ def render_frame(metric: Metric, camera: cam.Camera, params,
 def _render_frame_jit(metric: Metric, camera: cam.Camera, params,
                       backgrounds: bg.Background, settings: RenderSettings,
                       features: Features) -> Array:
-    if settings.adaptive_sampling:
-        rdata = render_data_adaptive(metric, camera, params, settings,
-                                     features)
-    else:
-        state, ku = init_camera_rays(metric, camera, params, settings,
-                                     features)
-        final = integrate.trace_rays(
-            metric, state, params, features=features, opts=settings.trace
-        )
-        rdata = compute_render_data(metric, final, ku, params, features)
+    state, ku = init_camera_rays(metric, camera, params, settings, features)
+    final = integrate.trace_rays(
+        metric, state, params, features=features, opts=settings.trace
+    )
+    rdata = compute_render_data(metric, final, ku, params, features)
     return shade(rdata, backgrounds, settings)
+
+
+_shade_jit = functools.partial(jax.jit, static_argnames=("settings",))(shade)
 
 
 def trace_frame(metric: Metric, camera: cam.Camera, params,
