@@ -395,3 +395,32 @@ def trace_rays(metric: Metric, state: RayState, params,
         return _transpose_out(final)
 
     raise ValueError(f"unknown trace method {opts.method!r}")
+
+
+def trace_rays_recorded(metric: Metric, state: RayState, params,
+                        features: Features = Features(),
+                        opts: TraceOptions = TraceOptions(),
+                        n_slots: int = 16, steps_per_slot: int = 64):
+    """Trace while recording the ray paths every ``steps_per_slot``
+    iterations — the triangle-mode path recording of ``do_generic_rays``
+    (cl.cl:4181-4232, ``ray_skip`` feature).
+
+    Returns ``(final RayState, path (n_slots+1, N, 4))`` where slot 0 is the
+    launch position and slot j is the position after ``j*steps_per_slot``
+    iterations (terminated rays repeat their final position, which makes
+    their later segments degenerate and harmless).
+    """
+    st = _transpose_in(state)
+    f_in_x = jnp.abs(st.velocity[0])
+    step = make_step_fn(metric, features, opts, f_in_x)
+
+    def outer(s, _):
+        def inner(s2, _):
+            return step(s2, params), None
+
+        s, _ = jax.lax.scan(inner, s, None, length=steps_per_slot)
+        return s, s.position
+
+    final, path = jax.lax.scan(outer, st, None, length=n_slots)
+    path = jnp.concatenate([st.position[None], path])  # (S+1, 4, N)
+    return _transpose_out(final), jnp.moveaxis(path, 1, 2)

@@ -94,6 +94,8 @@ def _transport_derivative(metric: Metric, x, v, q, params):
     gab, dg = geometry.metric_and_partials_batched(
         metric.fn, x[:, None], params, deps=metric.depends_on
     )
+    if gab.ndim == 2:  # constant metric (no batch dim emitted)
+        gab = gab[..., None]
     # Mixed contraction S_n = 1/2 v^a q^b (d_a g_nb + d_b g_na - d_n g_ab).
     S = []
     for n in range(4):

@@ -1,0 +1,79 @@
+"""GR triangle renderer: flat-space oracle — in Minkowski the toblerone
+pipeline must reduce to ordinary raytracing of a cube."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from geodesic_raytracing_tpu import metrics
+from geodesic_raytracing_tpu.ops.integrate import (
+    Features,
+    TraceOptions,
+    init_ray_state,
+)
+from geodesic_raytracing_tpu.triangles import (
+    TriangleScene,
+    make_cube,
+    precompute_object,
+    render_triangles,
+    subtriangulate,
+)
+
+
+def test_subtriangulate_splits_edges():
+    cube = make_cube([0, 0, 0, 0])
+    v, t = subtriangulate(cube.vertices, cube.triangles, max_edge=0.6)
+    assert len(t) > len(cube.triangles)
+    edges = v[t[:, 1]] - v[t[:, 0]]
+    assert np.linalg.norm(edges, axis=1).max() <= 0.6 + 1e-5
+
+
+def test_scene_build():
+    cube = make_cube([0, 0, 0, 0], scale=2.0)
+    scene = TriangleScene.build([cube])
+    assert scene.v0.shape == (12, 3)
+    assert np.all(scene.parent == 0)
+    assert np.abs(scene.v0).max() == 1.0  # scaled by 2
+
+
+def test_minkowski_cube_hits():
+    """Rays aimed at a static cube hit it; rays aimed away miss."""
+    m = metrics.get_metric("minkowski")
+    params = m.params()
+    feats = Features.for_metric(m)
+
+    # Cube sitting at the spatial origin, worldline traced from t = -40.
+    cube = make_cube([-40.0, 0.0, 0.0, 0.0], scale=1.0)
+    geo = precompute_object(m, cube, params, feats, n_steps=256, segments=32)
+    assert np.isfinite(np.asarray(geo.positions)).all()
+    # Static object: spatial position fixed, time advancing.
+    np.testing.assert_allclose(
+        np.asarray(geo.positions)[:, 1:], 0.0, atol=1e-4
+    )
+    scene = TriangleScene.build([cube])
+
+    # Camera rays from (t=0, x=-7): some aimed at the cube (+x), some away.
+    n = 9
+    offsets = np.linspace(-3.0, 3.0, n)  # y-offsets of target
+    pos = np.tile([0.0, -7.0, 0.0, 0.0], (n, 1)).astype(np.float32)
+    dirs = np.stack(
+        [np.full(n, 7.0), offsets, np.zeros(n)], -1
+    )
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    vel = np.concatenate(
+        [-np.ones((n, 1)), dirs], axis=1
+    ).astype(np.float32)  # backwards in time, like render rays
+    st = init_ray_state(m, jnp.asarray(pos), jnp.asarray(vel), params, feats)
+
+    _, hit, colour = render_triangles(
+        m, st, params, scene, [geo], features=feats,
+        opts=TraceOptions(max_steps=512), n_slots=8, steps_per_slot=32,
+    )
+    hit = np.asarray(hit)
+    # Target y-offsets within the half-extent 0.5 must hit; |y| > ~0.55
+    # misses (allow the boundary ray either way).
+    b = np.abs(offsets) / 7.0 * 7.0  # impact offset at the cube plane ~ y
+    assert hit[np.abs(offsets) < 0.45].all(), (offsets, hit)
+    assert not hit[np.abs(offsets) > 0.8].any(), (offsets, hit)
+    # Hit colour is a face normal magnitude: one channel ~1.
+    cols = np.asarray(colour)[hit]
+    assert (cols.max(axis=1) > 0.9).all()
