@@ -41,8 +41,9 @@ def main() -> int:
         width=W,
         height=H,
         anisotropy=4,
+        trilinear=False,
         adaptive_sampling=True,  # reference default (main.cpp:1152)
-        trace=TraceOptions(max_steps=16384, method="pallas", tile=8192),
+        trace=TraceOptions(max_steps=16384, method="pallas", tile=4096),
     )
     features = Features.for_metric(metric)
 

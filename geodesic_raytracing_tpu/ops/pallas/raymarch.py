@@ -98,6 +98,13 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
     n_pad = -(-n // tile) * tile
     n_tiles = n_pad // tile
 
+    # Pre-trace compaction: rays already terminated (e.g. prepass-killed or
+    # adaptive-refinement-masked) are packed to the back so whole tiles of
+    # them exit after one iteration instead of idling in live tiles.
+    perm = jnp.argsort(state.status != integrate.ACTIVE, stable=True)
+    state = jax.tree.map(lambda x: x[perm], state)
+    inv_perm = jnp.argsort(perm)
+
     pos = state.position.T
     vel = state.velocity.T
     acc = state.acceleration.T
@@ -196,10 +203,10 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
     opos, ovel, oacc, ods, ordl, ostatus, osteps = outs
 
     def unpack_v(x):  # (n_tiles, 4, 8, lanes) -> (N, 4)
-        return x.transpose(1, 0, 2, 3).reshape(4, n_pad)[:, :n].T
+        return x.transpose(1, 0, 2, 3).reshape(4, n_pad)[:, :n].T[inv_perm]
 
     def unpack_s(x):
-        return x.reshape(n_pad)[:n]
+        return x.reshape(n_pad)[:n][inv_perm]
 
     return RayState(
         position=unpack_v(opos),

@@ -162,9 +162,15 @@ def _bilinear_level(bgr: Background, side: Array, uv: Array, level: Array) -> Ar
     return top * (1 - fy) + bot * fy
 
 
-def read_mipmap(bgr: Background, side: Array, uv: Array, lod: Array) -> Array:
-    """Trilinear: blend the two straddling mip levels (cl.cl:5846-5875)."""
+def read_mipmap(bgr: Background, side: Array, uv: Array, lod: Array,
+                trilinear: bool = True) -> Array:
+    """Trilinear: blend the two straddling mip levels (cl.cl:5846-5875).
+    With ``trilinear=False`` samples the nearest level only — half the
+    gathers, for gather-bound TPU shading."""
     lod = jnp.clip(lod, 0.0, bgr.levels - 1.0)
+    if not trilinear:
+        return _bilinear_level(bgr, side, uv,
+                               jnp.round(lod).astype(jnp.int32))
     lo = jnp.floor(lod).astype(jnp.int32)
     hi = jnp.ceil(lod).astype(jnp.int32)
     frac = (lod - jnp.floor(lod))[..., None]
@@ -180,7 +186,8 @@ def _circular_diff(a: Array, b: Array) -> Array:
 
 
 def sample_anisotropic(bgr: Background, tex: Array, side: Array,
-                       max_probes: int = 16, bias_frac: float = 1.3) -> Array:
+                       max_probes: int = 16, bias_frac: float = 1.3,
+                       trilinear: bool = True) -> Array:
     """EWA-style anisotropic filtering over the equirect map
     (cl.cl:5524-5687): screen-space uv derivatives from neighbouring pixels'
     texture coords, Heckbert ellipse axes, up to ``max_probes`` gaussian-
@@ -267,7 +274,7 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
         cu = tex[..., 0] + (n.astype(jnp.float32) / 2.0) * sU
         cv = tex[..., 1] + (n.astype(jnp.float32) / 2.0) * sV
         uv = jnp.stack([jnp.mod(cu, 1.0), jnp.mod(cv, 1.0)], axis=-1)
-        val = read_mipmap(bgr, side, uv, lod)
+        val = read_mipmap(bgr, side, uv, lod, trilinear=trilinear)
         total = total + rel_w[..., None] * val
         weight = weight + rel_w
 

@@ -55,6 +55,7 @@ class RenderSettings:
     adaptive_sampling: bool = False
     adaptive_threshold: float = 64.0
     prepass_scale: int = 16
+    trilinear: bool = True  # mip blending; False = nearest level (cheaper)
 
 
 # ---------------------------------------------------------------------------
@@ -467,12 +468,12 @@ def _adaptive_assemble(qg: RenderData, r0: RenderData, r1: RenderData,
     cell_dr = pick(r2, interp_dr)
 
     def assemble(q, r, d, dr):
-        out = jnp.zeros((H, W) + q.shape[2:], dtype=q.dtype)
-        out = out.at[0::2, 0::2].set(q)
-        out = out.at[0::2, 1::2].set(r)
-        out = out.at[1::2, 0::2].set(d)
-        out = out.at[1::2, 1::2].set(dr)
-        return out.reshape((H * W,) + q.shape[2:])
+        # Interleave via stack+reshape (out[2i+a, 2j+b] = cell[a][b][i, j])
+        # instead of four strided scatters — far cheaper on TPU.
+        top = jnp.stack([q, r], axis=2)      # (Hh, Wh, 2, ...)
+        bot = jnp.stack([d, dr], axis=2)
+        rows = jnp.stack([top, bot], axis=1)  # (Hh, 2, Wh, 2, ...)
+        return rows.reshape((H * W,) + q.shape[2:])
 
     return RenderData(
         *(assemble(q, r, d, dr)
@@ -495,7 +496,8 @@ def shade(rdata: RenderData, backgrounds: bg.Background,
     terminated = rdata.terminated.reshape(H, W)
 
     rgb = bg.sample_anisotropic(
-        backgrounds, tex, side, max_probes=settings.anisotropy
+        backgrounds, tex, side, max_probes=settings.anisotropy,
+        trilinear=settings.trilinear,
     )
 
     if settings.redshift:
