@@ -137,11 +137,17 @@ def observer_tetrad(metric: Metric, position: Array, params,
 
 
 class Camera(NamedTuple):
-    """Interactive camera state (reference ``camera`` struct main.cpp:664)."""
+    """Interactive camera state (reference ``camera`` struct main.cpp:664).
+
+    ``frame_override`` attaches the camera to a recorded geodesic: a
+    ``(generic_position, tetrad)`` pair (from physics.interpolate_camera)
+    used verbatim instead of the static-observer construction.
+    """
 
     polar_position: Array  # (t, r, theta, phi) in polar coordinates
     quat: Array  # orientation quaternion
     basis_speed: Array  # tetrad-frame 3-velocity of the observer
+    frame_override: tuple | None = None
 
     @classmethod
     def default(cls) -> "Camera":
@@ -150,6 +156,11 @@ class Camera(NamedTuple):
             quat=quat_identity(),
             basis_speed=jnp.zeros(3),
         )
+
+    def on_geodesic(self, position: Array, tetrad: Array) -> "Camera":
+        """Attach to a geodesic frame (reference "Snapshot Camera Geodesic"
+        flow, main.cpp:2675-2759)."""
+        return self._replace(frame_override=(position, tetrad))
 
     def rotate(self, yaw=0.0, pitch=0.0, roll=0.0) -> "Camera":
         """Local-axis rotation, matching camera::rotate (main.cpp:686-699)."""

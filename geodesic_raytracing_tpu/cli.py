@@ -47,6 +47,11 @@ def main(argv=None) -> int:
     ap.add_argument("--adaptive", action="store_true",
                     help="adaptive sampling: quarter-density trace + "
                          "error-driven refinement (reference default)")
+    ap.add_argument("--geodesic-camera", type=float, metavar="TAU",
+                    default=None,
+                    help="attach the camera to a timelike geodesic launched "
+                         "from the camera position with --speed, rendered at "
+                         "proper time TAU (fly-through mode)")
     ap.add_argument("--max-steps", type=int, default=16384)
     ap.add_argument("--frames", type=int, default=10, help="bench frame count")
     ap.add_argument("--anisotropy", type=int, default=8)
@@ -93,6 +98,31 @@ def main(argv=None) -> int:
         cam = cam.rotate(
             yaw=args.yaw * d2r, pitch=args.pitch * d2r, roll=args.roll * d2r
         )
+
+    if args.geodesic_camera is not None:
+        # "Snapshot Camera Geodesic" (main.cpp:2675-2759): record an
+        # infalling worldline from the camera state, transport the tetrad,
+        # attach the camera at the requested proper time.
+        from .ops import tetrad as tet
+        from .physics import (
+            interpolate_camera,
+            parallel_transport_tetrads,
+            record_geodesic,
+        )
+        from .render.pipeline import camera_to_generic
+
+        feats0 = Features.for_metric(metric)
+        x0 = camera_to_generic(metric, cam, params)
+        gab = metric.fn(x0, params)
+        es0, _ = tet.frame_basis(gab)
+        es0 = tet.boost_tetrad(es0, cam.basis_speed, gab)
+        path = record_geodesic(metric, x0, es0[0], params, feats0,
+                               n_steps=4096)
+        tets = parallel_transport_tetrads(metric, path, es0, params)
+        pos, vel, frame = interpolate_camera(path, tets, args.geodesic_camera)
+        cam = cam.on_geodesic(pos, frame)
+        print(f"geodesic camera: tau={args.geodesic_camera:g} "
+              f"pos={np.asarray(pos).round(3).tolist()}")
 
     if args.background:
         backgrounds = bg.load_background(args.background, args.background2)

@@ -161,9 +161,12 @@ def make_train_step(metric: Metric, mesh: Mesh,
         ku = state.velocity @ (gab @ es[0])
         rdata = pipeline.compute_render_data(metric, final, ku, params,
                                              features)
+        # Sample a blurred mip level: flat checker regions give zero/edge
+        # gradients that stall the fit; the blur makes the pixel loss a
+        # smooth function of the texture coordinates.
         rgb = bg.read_mipmap(
             backgrounds, rdata.side, rdata.tex_coord,
-            jnp.zeros(rdata.side.shape),
+            jnp.full(rdata.side.shape, 3.0),
         )
         rgb = jnp.where(
             (rdata.terminated == integrate.ESCAPED)[..., None], rgb, 0.0
@@ -191,7 +194,15 @@ def make_train_step(metric: Metric, mesh: Mesh,
         dirs = dirs.reshape(-1, 3)
         target = target_image.reshape(-1, 3)
         loss, grads = loss_and_grad(params, camera, dirs, target, backgrounds)
-        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        # Clip by global norm — the L2 landscape has cliffs at horizon
+        # crossings and NaN-guard plateaus; raw SGD overshoots.
+        gnorm = jnp.sqrt(
+            sum(jnp.sum(g * g) for g in jax.tree.leaves(grads)) + 1e-20
+        )
+        scale = jnp.minimum(1.0, 1.0 / gnorm)
+        new_params = jax.tree.map(
+            lambda p, g: p - lr * scale * g, params, grads
+        )
         return new_params, loss
 
     return step

@@ -69,7 +69,13 @@ def camera_to_generic(metric: Metric, camera: cam.Camera, params) -> Array:
 
 
 def camera_frame(metric: Metric, camera: cam.Camera, params):
-    """Generic camera position + oriented, boosted observer tetrad."""
+    """Generic camera position + oriented, boosted observer tetrad.
+
+    A camera riding a recorded geodesic (``frame_override``) supplies its
+    interpolated position/tetrad directly (handle_interpolating_geodesic
+    cl.cl:2738-2872) and skips the static-observer construction."""
+    if camera.frame_override is not None:
+        return camera.frame_override
     position = camera_to_generic(metric, camera, params)
     es = cam.observer_tetrad(
         metric, position, params, basis_speed3=camera.basis_speed, orient=True
