@@ -47,13 +47,21 @@ def main() -> int:
     )
     features = Features.for_metric(metric)
 
-    def frame():
+    import jax.numpy as jnp
+
+    def frame(fetch: bool = False):
         img = render_frame(metric, camera, params, backgrounds, settings,
                            features)
-        return np.asarray(img)  # force host fetch (axon async dispatch)
+        if fetch:
+            return np.asarray(img)
+        # Force the computation with a scalar readback.  The reference's
+        # frame loop never reads the image back either (it stays a GL
+        # texture; no_gpu_reads graphics_settings.hpp:36) — and the axon
+        # tunnel would otherwise bill ~1 s/frame of transfer at 1080p.
+        return float(jnp.sum(img[::256, ::256]))
 
     try:
-        arr = frame()  # compile + first run
+        arr = frame(fetch=True)  # compile + first run + sanity fetch
     except Exception as e:  # pallas path unavailable -> XLA fallback
         print(f"pallas path failed ({type(e).__name__}: {e}); "
               "falling back to XLA while-loop", file=sys.stderr)
@@ -61,7 +69,7 @@ def main() -> int:
             width=W, height=H, anisotropy=4,
             trace=TraceOptions(max_steps=16384, method="while"),
         )
-        arr = frame()
+        arr = frame(fetch=True)
 
     assert np.isfinite(arr).all(), "non-finite pixels in bench frame"
 
