@@ -310,15 +310,9 @@ def _prepass_kill(dead: Array, cx: Array, cy: Array, W: int, H: int) -> Array:
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
-def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
-                             settings: RenderSettings, features: Features,
-                             cx: Array, cy: Array, kill: Array | None):
-    """One trace stage as its own XLA program.
-
-    Kept separate (rather than inlined into one whole-frame program) because
-    each stage holds a Mosaic kernel and programs with several Mosaic kernels
-    compile pathologically slowly through the remote TPU compile service.
-    """
+def _init_rays_jit(metric: Metric, camera: cam.Camera, params,
+                   settings: RenderSettings, features: Features,
+                   cx: Array, cy: Array, kill: Array | None):
     position, es = camera_frame(metric, camera, params)
     state, ku = rays_for_pixels(metric, camera, position, es, params,
                                 settings, features, cx, cy)
@@ -326,9 +320,51 @@ def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
         state = state._replace(
             status=jnp.where(kill, integrate.DEAD, state.status)
         )
-    fin = integrate.trace_rays(metric, state, params, features=features,
-                               opts=settings.trace)
-    return compute_render_data(metric, fin, ku, params, features)
+    return state, ku
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "settings"))
+def _trace_phase_jit(metric: Metric, state, params,
+                     settings: RenderSettings, features: Features):
+    return integrate.trace_rays(metric, state, params, features=features,
+                                opts=settings.trace)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "settings"))
+def _rdata_jit(metric: Metric, state, ku, params,
+               settings: RenderSettings, features: Features):
+    return compute_render_data(metric, state, ku, params, features)
+
+
+def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
+                             settings: RenderSettings, features: Features,
+                             cx: Array, cy: Array, kill: Array | None):
+    """One trace stage, orchestrated from the host as several XLA programs.
+
+    Why not one fused program: (a) programs holding several Mosaic kernels
+    compile pathologically slowly through the remote TPU compile service;
+    (b) splitting the march into phases lets each Pallas launch re-pack the
+    surviving rays to a dense prefix (trace_rays_pallas sorts active-first),
+    which cuts the measured ~5x tile-divergence waste — a tile only iterates
+    until its own slowest ray.  Dispatch is async, so the extra program
+    boundaries do not serialise on the host.
+
+    Phases come from ``settings.trace.compaction`` (e.g. ``(256, 1024)``),
+    always followed by a final phase to ``max_steps``.
+    """
+    state, ku = _init_rays_jit(metric, camera, params, settings, features,
+                               cx, cy, kill)
+    opts = settings.trace
+    phases = tuple(opts.compaction) + (opts.max_steps,)
+    if opts.method != "pallas":
+        phases = (opts.max_steps,)  # XLA paths handle divergence globally
+    for phase_steps in phases:
+        popts = dataclasses.replace(
+            opts, max_steps=min(phase_steps, opts.max_steps), compaction=()
+        )
+        psettings = dataclasses.replace(settings, trace=popts)
+        state = _trace_phase_jit(metric, state, params, psettings, features)
+    return _rdata_jit(metric, state, ku, params, settings, features)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
