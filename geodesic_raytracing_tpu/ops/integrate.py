@@ -341,7 +341,8 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
 
 def trace_rays(metric: Metric, state: RayState, params,
                features: Features = Features(),
-               opts: TraceOptions = TraceOptions()) -> RayState:
+               opts: TraceOptions = TraceOptions(),
+               sort_key: Array | None = None) -> RayState:
     """March every ray to termination or the step limit.
 
     ``opts.method``:
@@ -354,14 +355,9 @@ def trace_rays(metric: Metric, state: RayState, params,
     if opts.method == "pallas":
         from .pallas import raymarch  # local import: avoids cycle
 
-        if opts.compaction:
-            return raymarch.trace_rays_pallas_compacted(
-                metric, state, params, features=features, opts=opts,
-                tile=opts.tile, phases=opts.compaction,
-            )
         return raymarch.trace_rays_pallas(metric, state, params,
                                           features=features, opts=opts,
-                                          tile=opts.tile)
+                                          tile=opts.tile, sort_key=sort_key)
 
     st = _transpose_in(state)
     f_in_x = jnp.abs(st.velocity[0])

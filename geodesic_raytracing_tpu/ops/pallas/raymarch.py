@@ -86,11 +86,16 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
                       features: Features = Features(),
                       opts: TraceOptions = TraceOptions(),
                       tile: int = DEFAULT_TILE,
-                      interpret: bool = False) -> RayState:
+                      interpret: bool = False,
+                      sort_key: Array | None = None) -> RayState:
     """Pallas-tiled twin of :func:`integrate.trace_rays` (while method).
 
     Rays are packed per tile into full (8, tile/8) VPU registers — a flat
     (tile,) vector would occupy one sublane in eight.
+
+    ``sort_key``: optional per-ray cost estimate (e.g. the prepass step
+    count).  A tile runs until its slowest ray finishes, so grouping rays of
+    similar cost makes tile_max track tile_mean instead of the global tail.
     """
     assert tile % SUBLANES == 0, "tile must be a multiple of 8"
     lanes = tile // SUBLANES
@@ -98,10 +103,15 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
     n_pad = -(-n // tile) * tile
     n_tiles = n_pad // tile
 
-    # Pre-trace compaction: rays already terminated (e.g. prepass-killed or
-    # adaptive-refinement-masked) are packed to the back so whole tiles of
-    # them exit after one iteration instead of idling in live tiles.
-    perm = jnp.argsort(state.status != integrate.ACTIVE, stable=True)
+    # Pre-trace compaction: dead rays (prepass-killed, refinement-masked)
+    # pack to the back so whole tiles of them exit after one iteration; live
+    # rays sort by estimated cost so tiles are cost-uniform.
+    dead = state.status != integrate.ACTIVE
+    if sort_key is None:
+        perm = jnp.argsort(dead, stable=True)
+    else:
+        key = jnp.where(dead, jnp.inf, -sort_key.astype(jnp.float32))
+        perm = jnp.argsort(key, stable=True)
     state = jax.tree.map(lambda x: x[perm], state)
     inv_perm = jnp.argsort(perm)
 

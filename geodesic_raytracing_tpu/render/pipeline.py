@@ -309,6 +309,27 @@ def _prepass_kill(dead: Array, cx: Array, cy: Array, W: int, H: int) -> Array:
             & probe(0, 1))
 
 
+@jax.jit
+def _prepass_cost(psteps: Array, cx: Array, cy: Array, W: int,
+                  H: int) -> Array:
+    """Per-ray cost estimate from the prepass step counts: the max over the
+    ray's prepass cell and neighbours (tiles sort by this so their iteration
+    bound tracks their mean instead of the frame-wide tail)."""
+    ph, pw = psteps.shape
+    lx = jnp.round(cx / W * pw).astype(jnp.int32)
+    ly = jnp.round(cy / H * ph).astype(jnp.int32)
+
+    def probe(dx, dy):
+        xx = jnp.clip(lx + dx, 0, pw - 1)
+        yy = jnp.clip(ly + dy, 0, ph - 1)
+        return psteps[yy, xx]
+
+    return jnp.maximum(
+        jnp.maximum(jnp.maximum(probe(0, 0), probe(1, 0)), probe(-1, 0)),
+        jnp.maximum(probe(0, 1), probe(0, -1)),
+    ).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
 def _init_rays_jit(metric: Metric, camera: cam.Camera, params,
                    settings: RenderSettings, features: Features,
@@ -325,9 +346,10 @@ def _init_rays_jit(metric: Metric, camera: cam.Camera, params,
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
 def _trace_phase_jit(metric: Metric, state, params,
-                     settings: RenderSettings, features: Features):
+                     settings: RenderSettings, features: Features,
+                     cost: Array | None = None):
     return integrate.trace_rays(metric, state, params, features=features,
-                                opts=settings.trace)
+                                opts=settings.trace, sort_key=cost)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
@@ -338,7 +360,8 @@ def _rdata_jit(metric: Metric, state, ku, params,
 
 def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
                              settings: RenderSettings, features: Features,
-                             cx: Array, cy: Array, kill: Array | None):
+                             cx: Array, cy: Array, kill: Array | None,
+                             cost: Array | None = None):
     """One trace stage, orchestrated from the host as several XLA programs.
 
     Why not one fused program: (a) programs holding several Mosaic kernels
@@ -363,7 +386,9 @@ def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
             opts, max_steps=min(phase_steps, opts.max_steps), compaction=()
         )
         psettings = dataclasses.replace(settings, trace=popts)
-        state = _trace_phase_jit(metric, state, params, psettings, features)
+        state = _trace_phase_jit(metric, state, params, psettings, features,
+                                 cost)
+        cost = None  # after phase 1 the survivors' own state is the signal
     return _rdata_jit(metric, state, ku, params, settings, features)
 
 
@@ -381,7 +406,9 @@ def _prepass_dead_map(metric: Metric, camera: cam.Camera, params,
                                 xx.reshape(-1), yy.reshape(-1))
     pfin = integrate.trace_rays(metric, pstate, params, features=features,
                                 opts=settings.trace)
-    return (pfin.status == integrate.DEAD).reshape(H, W)
+    dead = (pfin.status == integrate.DEAD).reshape(H, W)
+    steps = pfin.steps.reshape(H, W)
+    return dead, steps
 
 
 def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
@@ -410,16 +437,20 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
     qcy = jnp.asarray(qyy.reshape(-1))
 
     kill = None
+    qcost = None
+    rcost = None
     if metric.config.use_prepass:
         pw = max(W // settings.prepass_scale, 4)
         ph = max(H // settings.prepass_scale, 4)
         psettings = _dc.replace(settings, width=pw, height=ph,
                                 adaptive_sampling=False)
-        dead = _prepass_dead_map(metric, camera, params, psettings, features)
+        dead, psteps = _prepass_dead_map(metric, camera, params, psettings,
+                                         features)
         kill = _prepass_kill(dead, qcx, qcy, W, H)
+        qcost = _prepass_cost(psteps, qcx, qcy, W, H)
 
     qr = _traced_rdata_for_pixels(metric, camera, params, settings, features,
-                                  qcx, qcy, kill)
+                                  qcx, qcy, kill, qcost)
 
     def grid(x):
         return x.reshape((Hh, Wh) + x.shape[1:])
@@ -434,8 +465,10 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
     rcx = jnp.concatenate([qcx + ox for ox, oy in offsets])
     rcy = jnp.concatenate([qcy + oy for ox, oy in offsets])
     rkill = ~jnp.concatenate([should.reshape(-1)] * 3)
+    if qcost is not None:
+        rcost = jnp.concatenate([qcost] * 3)
     rr = _traced_rdata_for_pixels(metric, camera, params, settings, features,
-                                  rcx, rcy, rkill)
+                                  rcx, rcy, rkill, rcost)
     nq = Wh * Hh
     rparts = [
         RenderData(*(grid(f[i * nq:(i + 1) * nq]) for f in rr))
