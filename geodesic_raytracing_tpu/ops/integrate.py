@@ -79,6 +79,9 @@ class TraceOptions:
 
     max_steps: int = MAX_STEPS_DEFAULT
     reparameterisation: bool = False
+    # "verlet" (reference default) | "euler" (step_euler cl.cl:3352-3377;
+    # schedule-driven steps, no adaptive error control).
+    integrator: str = "verlet"
     # "while" (XLA whole-batch), "scan" (differentiable, remat),
     # "pallas" (tiled TPU kernel with per-tile early exit — the fast path).
     method: str = "while"
@@ -251,7 +254,8 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
             abs_r, new_min, new_max,
             features.ambient_precision, features.subambient_precision,
         )
-        ds = state.next_ds if cfg.adaptive_precision else ds_sched
+        adaptive = cfg.adaptive_precision and opts.integrator == "verlet"
+        ds = state.next_ds if adaptive else ds_sched
         near = abs_r < new_max
         ds = jnp.where(
             near,
@@ -282,14 +286,25 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
         status = jnp.where(active & dead & ~newly_escaped, DEAD, status)
         active = status == ACTIVE
 
-        # Trial Verlet step (cl.cl:4144-4178).
-        npos, nvel, nacc, K = verlet_step(
-            metric, pos, vel, acc, ds, params, opts.reparameterisation
-        )
+        if opts.integrator == "euler":
+            # step_euler (cl.cl:3352-3377): acceleration at the current
+            # event, then a semi-implicit update.
+            lacc = geometry.acceleration_batched(
+                metric.fn, pos, vel, params, deps=metric.depends_on
+            )
+            nvel = vel + lacc * ds[None, :]
+            npos = pos + nvel * ds[None, :]
+            nacc = lacc
+            K = jnp.ones(ds.shape, dtype=pos.dtype)
+        else:
+            # Trial Verlet step (cl.cl:4144-4178).
+            npos, nvel, nacc, K = verlet_step(
+                metric, pos, vel, acc, ds, params, opts.reparameterisation
+            )
 
         commit = active
         next_ds = state.next_ds
-        if cfg.adaptive_precision:
+        if adaptive:
             err = features.max_acceleration_change
             diff, ideal_ds = acceleration_to_precision(nacc, err, w_v)
             # calculate_ds_error (cl.cl:3431-3456)

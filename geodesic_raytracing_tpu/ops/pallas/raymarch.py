@@ -167,13 +167,22 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
         )
         step = integrate.make_step_fn(metric, kfeatures, opts, finx_ref[0])
 
+        # The any(active) exit test is a cross-lane reduction; checking it
+        # every CHECK_EVERY steps amortises its cost (terminated rays are
+        # masked, so the overshoot steps are no-ops).
+        CHECK_EVERY = 8
+        n_outer = -(-opts.max_steps // CHECK_EVERY)
+
         def cond(carry):
             i, s = carry
-            return (i < opts.max_steps) & jnp.any(s.status == integrate.ACTIVE)
+            return (i < n_outer) & jnp.any(s.status == integrate.ACTIVE)
 
         def body(carry):
             i, s = carry
-            return i + 1, step(s, kparams)
+            s = jax.lax.fori_loop(
+                0, CHECK_EVERY, lambda _, ss: step(ss, kparams), s
+            )
+            return i + 1, s
 
         _, fin = jax.lax.while_loop(cond, body, (jnp.int32(0), st0))
 

@@ -192,3 +192,22 @@ def test_pallas_interpret_matches_xla(name):
         np.asarray(ref.position)[ok], np.asarray(pal.position)[ok],
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_euler_integrator_close_to_verlet():
+    """step_euler parity (cl.cl:3352-3377): first-order path, same fates."""
+    m = metrics.get_metric("schwarzschild")
+    params = m.params()
+    pos, vel = make_rays(8, 7.0, np.linspace(0.5, 0.8, 8))
+    feats = Features.for_metric(m)
+    st = init_ray_state(m, pos, vel, params, feats)
+    a = trace_rays(m, st, params, features=feats,
+                   opts=TraceOptions(max_steps=4096))
+    b = trace_rays(m, st, params, features=feats,
+                   opts=TraceOptions(max_steps=4096, integrator="euler"))
+    np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
+    esc = np.asarray(a.status) == ESCAPED
+    np.testing.assert_allclose(
+        np.asarray(a.position)[esc, 3], np.asarray(b.position)[esc, 3],
+        atol=0.1,
+    )
