@@ -57,6 +57,15 @@ def main(argv=None) -> int:
     ap.add_argument("--anisotropy", type=int, default=8)
     ap.add_argument("--param", action="append", default=[],
                     metavar="NAME=VALUE", help="metric parameter override")
+    ap.add_argument("--content", action="append", default=[],
+                    metavar="DIR", help="load a metric content pack directory "
+                                        "(reference workshop/scripts folders)")
+    ap.add_argument("--cube", type=float, nargs=4, action="append",
+                    default=[], metavar=("T", "X", "Y", "Z"),
+                    help="place a unit cube object at this spacetime point "
+                         "(GR triangle rendering)")
+    ap.add_argument("--obj", action="append", default=[], metavar="SPEC",
+                    help="place an .obj mesh: path,t,x,y,z[,scale]")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
 
@@ -74,6 +83,15 @@ def main(argv=None) -> int:
     from .render import background as bg
     from .render import colour
     from .render.pipeline import RenderSettings, render_frame
+
+    for pack_dir in args.content:
+        from .content import load_pack
+
+        pack = load_pack(pack_dir)
+        loaded = ", ".join(sorted(pack.metrics)) or "none"
+        print(f"loaded pack {pack_dir}: {loaded}")
+        for stem, err in pack.broken.items():
+            print(f"  (broken) {stem}: {err}")
 
     if args.list:
         for name in metrics.list_metrics():
@@ -156,6 +174,49 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     img = render_frame(metric, cam, params, backgrounds, settings, features)
+
+    if args.cube or args.obj:
+        # GR triangle rendering: precompute each object's worldline, trace
+        # rays with path recording, composite hits over the background image.
+        from .render.pipeline import init_camera_rays
+        from .triangles import (
+            TriangleScene,
+            make_cube,
+            object_from_obj,
+            precompute_object,
+            render_triangles,
+        )
+
+        objects = [make_cube(c) for c in args.cube]
+        for spec in args.obj:
+            parts = spec.split(",")
+            path_, rest = parts[0], [float(v) for v in parts[1:]]
+            scale = rest[4] if len(rest) > 4 else 1.0
+            objects.append(object_from_obj(path_, rest[:4], scale=scale))
+        geos = [
+            precompute_object(metric, o, params, features, n_steps=1024,
+                              segments=48)
+            for o in objects
+        ]
+        scene = TriangleScene.build(objects)
+        tsettings = settings
+        if settings.adaptive_sampling:
+            import dataclasses as _dc
+
+            tsettings = _dc.replace(settings, adaptive_sampling=False)
+        state, _ = init_camera_rays(metric, cam, params, tsettings, features)
+        _, hit, tri_col = render_triangles(
+            metric, state, params, scene, geos, features=features,
+            opts=TraceOptions(max_steps=min(args.max_steps, 4096),
+                              method="while"),
+            n_slots=12, steps_per_slot=48,
+        )
+        import jax.numpy as _jnp
+
+        hit = hit.reshape(args.height, args.width)
+        tri_col = tri_col.reshape(args.height, args.width, 3)
+        img = _jnp.where(hit[..., None], tri_col, img)
+
     img.block_until_ready()
     dt = time.perf_counter() - t0
 
