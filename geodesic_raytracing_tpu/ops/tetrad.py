@@ -112,6 +112,114 @@ def frame_basis(gab: Array) -> tuple[Array, Array]:
     return es, tl
 
 
+# ---------------------------------------------------------------------------
+# Batched (component-first) frame basis: gab (4, 4, N) -> es (4, 4, N)
+#
+# The redshift pass builds a frame at *every* ray endpoint (cl.cl:5187), so
+# this must run in the integrator's lane-major layout — a per-ray vmap of the
+# scalar path wastes 124/128 VPU lanes and dominated the render-data stage.
+# ---------------------------------------------------------------------------
+
+def _dot_g_b(gab, u, v):
+    """g_ab u^a v^b for (4, N) vectors against (4, 4, N)."""
+    out = 0.0
+    for a in range(4):
+        for b in range(4):
+            out = out + gab[a, b] * u[a] * v[b]
+    return out
+
+
+def _swap0_batched(arr, j):
+    """Swap row 0 with per-item row ``j``: arr (4, N), j (N,) int."""
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
+    rj = 0.0
+    for i in range(4):
+        rj = rj + jnp.where(j == i, arr[i], 0.0)
+    out = jnp.where(ridx == 0, rj[None, :],
+                    jnp.where(ridx == j[None, :], arr[0][None, :], arr))
+    return out
+
+
+def _frame_basis_swap_batched(gab: Array, swap: Array):
+    """Batched ``calculate_frame_basis_with_swap_index`` (cl.cl:1761-1849).
+
+    ``gab`` (4, 4, N); ``swap`` (N,) int32.  Returns (es (4, 4, N), tl (N,)).
+    """
+    n = gab.shape[-1]
+    order = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0), (4, n)
+    )
+    order = _swap0_batched(order, swap).astype(jnp.int32)
+
+    # lengths_sw[i] = g[o,o] with o = order[i]
+    def diag_gather(o_row):
+        out = 0.0
+        for mu in range(4):
+            out = out + jnp.where(o_row == mu, gab[mu, mu], 0.0)
+        return out
+
+    lengths = jnp.stack([diag_gather(order[i]) for i in range(4)])
+    nonzero = jnp.abs(lengths) > 1e-5
+    # first True index (argmax of bool) per item
+    first_nz = jnp.argmax(nonzero, axis=0).astype(jnp.int32)
+    order = _swap0_batched(order, first_nz).astype(jnp.int32)
+
+    # one-hot basis rows: vs[i][mu] = (order[i] == mu)
+    vs = [
+        jnp.stack([(order[i] == mu).astype(gab.dtype) for mu in range(4)])
+        for i in range(4)
+    ]
+
+    # metric Gram-Schmidt (cl.cl:1645-1674)
+    def proj(u, v):
+        return (_dot_g_b(gab, u, v) / _dot_g_b(gab, u, u))[None, :] * u
+
+    u0 = vs[0]
+    u1 = vs[1] - proj(u0, vs[1])
+    u2 = vs[2] - proj(u0, vs[2]) - proj(u1, vs[2])
+    u3 = vs[3] - proj(u0, vs[3]) - proj(u1, vs[3]) - proj(u2, vs[3])
+
+    def norm(u):
+        return u / jnp.sqrt(jnp.abs(_dot_g_b(gab, u, u)))[None, :]
+
+    us = [norm(u0), norm(u1), norm(u2), norm(u3)]
+
+    # un-permute: sorted[order[i]] = us[i]
+    sorted_es = []
+    for slot in range(4):
+        acc = 0.0
+        for i in range(4):
+            acc = acc + jnp.where(order[i] == slot, 1.0, 0.0)[None, :] * us[i]
+        sorted_es.append(acc)
+
+    # timelike discovery: eta_aa = g(e_a, e_a)
+    diag = jnp.stack([_dot_g_b(gab, e, e) for e in sorted_es])
+    tl = jnp.argmin(diag, axis=0).astype(jnp.int32)
+    tl = jnp.where(jnp.min(diag, axis=0) < 0.0, tl, 0)
+
+    es = jnp.stack(sorted_es)  # (4, 4, N): es[a][mu]
+    # swap leg 0 <-> leg tl via masks over the leg axis
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
+    e_tl = 0.0
+    for i in range(4):
+        e_tl = e_tl + jnp.where(tl[None, :] == i, es[i], 0.0)
+    es_sw = jnp.where(lidx == 0, e_tl[None],
+                      jnp.where(lidx == tl[None, None, :], es[0][None], es))
+    return es_sw, tl
+
+
+def frame_basis_batched(gab: Array):
+    """Batched :func:`frame_basis`: gab (4, 4, N) -> (es (4, 4, N), tl (N,)),
+    with ``es[a][mu][n] = e_a^mu`` and leg 0 timelike."""
+    n = gab.shape[-1]
+    es1, tl1 = _frame_basis_swap_batched(gab, jnp.zeros((n,), jnp.int32))
+    es2, tl2 = _frame_basis_swap_batched(gab, tl1)
+    take_first = (tl1 == 0)
+    es = jnp.where(take_first[None, None, :], es1, es2)
+    tl = jnp.where(take_first, tl1, tl2)
+    return es, tl
+
+
 def tetrad_inverse(es: Array) -> Array:
     """Inverse tetrad: rows are the covariant co-frame theta^a_mu
     (``get_tetrad_inverse`` cl.cl:2095-2114: invert the matrix whose *columns*

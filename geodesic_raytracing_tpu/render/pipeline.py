@@ -190,61 +190,114 @@ def _fix_ray_position(polar_pos3, polar_vel3, sphere_radius):
     return new_polar.at[0].multiply(position_sign)
 
 
+def _fix_ray_position_batched(p3, v3, sphere_radius):
+    """Batched :func:`_fix_ray_position`: p3/v3 (3, N) polar (r, theta, phi)
+    position/velocity.  Returns snapped (3, N)."""
+    sign = jnp.sign(p3[0])
+    sign = jnp.where(sign == 0, 1.0, sign)
+    r = jnp.abs(p3[0])
+    th, ph = p3[1], p3[2]
+    vr = v3[0] * sign
+    vth, vph = v3[1], v3[2]
+
+    st, ct = jnp.sin(th), jnp.cos(th)
+    sp, cp = jnp.sin(ph), jnp.cos(ph)
+    px = r * st * cp
+    py = r * st * sp
+    pz = r * ct
+    # d(polar->cart) applied to (vr, vth, vph)
+    vx = vr * st * cp + r * ct * cp * vth - r * st * sp * vph
+    vy = vr * st * sp + r * ct * sp * vth + r * st * cp * vph
+    vz = vr * ct - r * st * vth
+
+    vn = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    vn = jnp.where(vn < 1e-12, 1.0, vn)
+    vx, vy, vz = vx / vn, vy / vn, vz / vn
+
+    b = 2.0 * (vx * px + vy * py + vz * pz)
+    c = px * px + py * py + pz * pz - sphere_radius * sphere_radius
+    disc = b * b - 4.0 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / 2.0
+    t1 = (-b + sq) / 2.0
+    t = jnp.where(jnp.abs(t0) < jnp.abs(t1), t0, t1)
+    t = jnp.where(disc < 0, 0.0, t)
+    nx, ny, nz = px + t * vx, py + t * vy, pz + t * vz
+
+    nr = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    nth = jnp.arctan2(jnp.sqrt(nx * nx + ny * ny), nz)
+    nph = jnp.arctan2(ny, nx)
+    return jnp.stack([nr * sign, nth, nph])
+
+
 def compute_render_data(metric: Metric, state: RayState, ku_uobsu: Array,
                         params, features: Features = Features()) -> RenderData:
     """``calculate_render_data`` (cl.cl:5135-5220): terminated rays are
     snapped to the universe sphere, textured by final (theta, phi), with the
-    observed/emitted energy ratio z_shift."""
+    observed/emitted energy ratio z_shift.
+
+    Component-first batched throughout (incl. the per-endpoint frame basis) —
+    this stage runs at every ray of every frame, and the per-ray vmap layout
+    was costing more than the integration itself.
+    """
     cfg = metric.config
+    n = state.position.shape[0]
+    pos = state.position.T  # (4, N)
+    vel = state.velocity.T
+    rdl = state.running_dlambda_dnew
+    status = state.status
 
-    def one(pos, vel, rdl, ku, status):
-        polar = metric.to_polar(pos, params)
-        polar_vel = metric.to_polar_velocity(pos, vel, params)
+    polar = metric.to_polar(pos, params)
+    polar_vel = jax.jvp(
+        lambda x: metric.to_polar(x, params), (pos,), (vel,)
+    )[1]
 
-        # Snap: escaped rays to the universe sphere; singular-terminated rays
-        # to the terminator sphere (get_intersection_position cl.cl:5024-5050).
-        snapped_far = _fix_ray_position(polar[1:], polar_vel[1:],
-                                        features.universe_size)
-        if cfg.singular:
-            snapped_near = _fix_ray_position(polar[1:], polar_vel[1:],
-                                             cfg.singular_terminator)
-            is_far = jnp.abs(polar[1]) >= 0.5 * (
-                features.universe_size + cfg.singular_terminator
-            )
-            snapped = jnp.where(is_far, snapped_far, snapped_near)
-        else:
-            snapped = snapped_far
+    # Snap: escaped rays to the universe sphere; singular-terminated rays to
+    # the terminator sphere (get_intersection_position cl.cl:5024-5050).
+    snapped_far = _fix_ray_position_batched(polar[1:], polar_vel[1:],
+                                            features.universe_size)
+    if cfg.singular:
+        snapped_near = _fix_ray_position_batched(polar[1:], polar_vel[1:],
+                                                 cfg.singular_terminator)
+        is_far = jnp.abs(polar[1]) >= 0.5 * (
+            features.universe_size + cfg.singular_terminator
+        )
+        snapped = jnp.where(is_far[None, :], snapped_far, snapped_near)
+    else:
+        snapped = snapped_far
 
-        side = jnp.where(polar[1] < 0, 0, 1).astype(jnp.int32)
+    side = jnp.where(polar[1] < 0, 0, 1).astype(jnp.int32)
 
-        # Fresh (unoriented, unboosted) tetrad at the endpoint for the
-        # observed frequency (cl.cl:5185-5208).
-        gab = metric.fn(pos, params)
-        es, _ = tetrad.frame_basis(gab)
-        obs_low = gab @ es[0]
-        gen_vel = vel / rdl
-        z_shift = (gen_vel @ obs_low) / ku - 1.0
-        z_shift = jnp.maximum(z_shift, -0.999)
-
-        tex = angle_to_tex(snapped[1:])
-
-        status_out = status
-        if not cfg.traversable_event_horizon:
-            # Non-traversable metrics: endpoints inside |r| <= 1 shade black
-            # (cl.cl:5177-5183).
-            status_out = jnp.where(
-                (status == integrate.ESCAPED) & (jnp.abs(snapped[0]) <= 1.0),
-                integrate.DEAD,
-                status,
-            )
-        return tex, z_shift, side, status_out, snapped[1:]
-
-    tex, z, side, status, ang = jax.vmap(one)(
-        state.position, state.velocity, state.running_dlambda_dnew,
-        ku_uobsu, state.status,
+    # Fresh (unoriented, unboosted) tetrad at every endpoint for the
+    # observed frequency (cl.cl:5185-5208).
+    gab = metric.fn(pos, params)
+    if gab.ndim == 2:
+        gab = jnp.broadcast_to(gab[..., None], (4, 4, n))
+    es, _ = tetrad.frame_basis_batched(gab)
+    e0 = es[0]  # (4, N)
+    obs_low = [
+        sum(gab[a, b] * e0[b] for b in range(4)) for a in range(4)
+    ]
+    gen_vel = vel / rdl[None, :]
+    z_shift = (
+        sum(gen_vel[a] * obs_low[a] for a in range(4)) / ku_uobsu - 1.0
     )
-    return RenderData(tex_coord=tex, z_shift=z, side=side, terminated=status,
-                      angles=ang)
+    z_shift = jnp.maximum(z_shift, -0.999)
+
+    ang = jnp.stack([snapped[1], snapped[2]], axis=-1)  # (N, 2)
+    tex = angle_to_tex(ang)
+
+    if not cfg.traversable_event_horizon:
+        # Non-traversable metrics: endpoints inside |r| <= 1 shade black
+        # (cl.cl:5177-5183).
+        status = jnp.where(
+            (status == integrate.ESCAPED) & (jnp.abs(snapped[0]) <= 1.0),
+            integrate.DEAD,
+            status,
+        )
+
+    return RenderData(tex_coord=tex, z_shift=z_shift, side=side,
+                      terminated=status, angles=ang)
 
 
 # ---------------------------------------------------------------------------

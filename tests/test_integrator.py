@@ -211,3 +211,27 @@ def test_euler_integrator_close_to_verlet():
         np.asarray(a.position)[esc, 3], np.asarray(b.position)[esc, 3],
         atol=0.1,
     )
+
+
+def test_kerr_frame_dragging_capture_asymmetry():
+    """Frame dragging: prograde photons are captured at smaller impact
+    parameters than retrograde ones.  With spin a=-0.5 the equatorial
+    capture thresholds must split around the Schwarzschild b_crit."""
+    m = metrics.get_metric("kerr_boyer")
+    params = m.params()  # a = -0.5
+    r0 = 7.0
+    n = 32
+    feats = Features.for_metric(m)
+
+    def capture_fraction(sign):
+        angles = sign * np.arcsin(np.linspace(0.25, 0.55, n))
+        pos, vel = make_rays(n, r0, angles)
+        st = init_ray_state(m, pos, vel, params, feats)
+        fin = trace_rays(m, st, params, features=feats,
+                         opts=TraceOptions(max_steps=16384))
+        return (np.asarray(fin.status) != ESCAPED).mean()
+
+    frac_plus = capture_fraction(+1.0)
+    frac_minus = capture_fraction(-1.0)
+    # One rotation sense must capture strictly more of the same |b| ladder.
+    assert abs(frac_plus - frac_minus) > 0.05, (frac_plus, frac_minus)
