@@ -262,20 +262,55 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     sV = dv / h0
     alpha = 2.0
 
-    total = jnp.zeros(tex.shape[:-1] + (3,), dtype=jnp.float32)
-    weight = jnp.zeros(tex.shape[:-1], dtype=jnp.float32)
+    # Two passes: every pixel takes its centre sample; only the
+    # highest-anisotropy quarter of pixels (sorted) runs the full masked
+    # probe loop — most pixels need one probe, and the dense loop would pay
+    # max_probes gathers for all of them.
+    # Pixels outside the probe budget fall back to an isotropic blur at the
+    # ellipse's *major* radius (overblur rather than alias).
+    lod_major = jnp.clip(jnp.log2(jnp.maximum(major, 1e-20)), 0.0,
+                         bgr.levels - 1.0)
+    base_lod = jnp.where(i_probes > 1, lod_major, lod)
+    base = read_mipmap(bgr, side, tex, base_lod, trilinear=trilinear)
+    if max_probes <= 1:
+        return base
+
+    n_pix = int(np.prod(tex.shape[:-1]))
+    k = max(min(n_pix, 1024), n_pix // 3)
+
+    def flat(x):
+        return x.reshape((n_pix,) + x.shape[tex.ndim - 1:])
+
+    ip_f = flat(i_probes)
+    order = jnp.argsort(-ip_f)[:k]
+
+    texf = flat(tex)[order]
+    sidef = flat(side)[order]
+    lodf = flat(lod)[order]
+    duf, dvf = flat(du)[order], flat(dv)[order]
+    sUf, sVf = flat(sU)[order], flat(sV)[order]
+    majorf = flat(major)[order]
+    startf = flat(start_n)[order]
+    ipf = ip_f[order]
+
+    total = jnp.zeros((k, 3), dtype=jnp.float32)
+    weight = jnp.zeros((k,), dtype=jnp.float32)
     for cnt in range(max_probes):
-        n = start_n + 2 * cnt
-        active = cnt < i_probes
-        d2 = (n.astype(jnp.float32) ** 2 / 4.0) * (du * du + dv * dv) / (
-            major * major
+        nn = startf + 2 * cnt
+        active = cnt < ipf
+        d2 = (nn.astype(jnp.float32) ** 2 / 4.0) * (duf * duf + dvf * dvf) / (
+            majorf * majorf
         )
         rel_w = jnp.where(active, jnp.exp(-alpha * d2), 0.0)
-        cu = tex[..., 0] + (n.astype(jnp.float32) / 2.0) * sU
-        cv = tex[..., 1] + (n.astype(jnp.float32) / 2.0) * sV
+        cu = texf[:, 0] + (nn.astype(jnp.float32) / 2.0) * sUf
+        cv = texf[:, 1] + (nn.astype(jnp.float32) / 2.0) * sVf
         uv = jnp.stack([jnp.mod(cu, 1.0), jnp.mod(cv, 1.0)], axis=-1)
-        val = read_mipmap(bgr, side, uv, lod, trilinear=trilinear)
-        total = total + rel_w[..., None] * val
+        val = read_mipmap(bgr, sidef, uv, lodf, trilinear=trilinear)
+        total = total + rel_w[:, None] * val
         weight = weight + rel_w
 
-    return total / jnp.maximum(weight, 1e-20)[..., None]
+    multi = total / jnp.maximum(weight, 1e-20)[:, None]
+    out = flat(base)
+    use_multi = (ipf > 1)[:, None]
+    out = out.at[order].set(jnp.where(use_multi, multi, out[order]))
+    return out.reshape(tex.shape[:-1] + (3,))
