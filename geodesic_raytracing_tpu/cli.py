@@ -160,14 +160,18 @@ def main(argv=None) -> int:
 
     if args.bench:
         # Warm-up compile, then the reference's frametime protocol
-        # (main.cpp:2864-2871; the string must not change).
-        img = render_frame(metric, cam, params, backgrounds, settings, features)
-        img.block_until_ready()
+        # (main.cpp:2864-2871; the string must not change).  Sync via a tiny
+        # device reduction — block_until_ready is a no-op over the axon
+        # tunnel and a full-frame fetch would bill ~1 s of transfer.
+        def sync(im):
+            return float(jnp.sum(im[::128, ::128]))
+
+        sync(render_frame(metric, cam, params, backgrounds, settings,
+                          features))
         for _ in range(args.frames):
             t0 = time.perf_counter()
-            img = render_frame(metric, cam, params, backgrounds, settings,
-                               features)
-            img.block_until_ready()
+            sync(render_frame(metric, cam, params, backgrounds, settings,
+                              features))
             ms = (time.perf_counter() - t0) * 1e3
             print(f"Frametime Elapsed: {ms:f}")
         return 0

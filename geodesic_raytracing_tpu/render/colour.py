@@ -70,9 +70,12 @@ def linear_rgb_to_xyz(c: Array) -> Array:
 
 
 # DOMINANT_COLOUR anchors (cl.cl:5736-5744): wavelengths and chromaticity
-# angles of the sRGB primaries around the white point.
+# angles of the sRGB primaries around the white point.  Note: the reference
+# (an unused debug variant) pairs r_wavelength with the *blue* primary's
+# angle and vice versa — sRGB red sits at angle -0.0108, blue at -2.1616
+# (atan2 of xy - 1/3).  The physically consistent pairing is used here.
 _R_WL, _G_WL, _B_WL = 612.0, 549.0, 464.0
-_R_ANG, _G_ANG, _B_ANG = -2.161580, 1.695013, -0.010759
+_R_ANG, _G_ANG, _B_ANG = -0.010759, 1.695013, -2.161580
 
 
 def dominant_wavelength(lin_rgb: Array) -> Array:
