@@ -74,9 +74,9 @@ def test_redshift_extremes():
 
 
 def test_dominant_wavelength_orders_primaries():
-    wl_r = float(colour.dominant_wavelength(jnp.array([[0.9, 0.05, 0.05]])))
-    wl_g = float(colour.dominant_wavelength(jnp.array([[0.05, 0.9, 0.05]])))
-    wl_b = float(colour.dominant_wavelength(jnp.array([[0.05, 0.05, 0.9]])))
+    wl_r = float(colour.dominant_wavelength(jnp.array([[0.9, 0.05, 0.05]]))[0])
+    wl_g = float(colour.dominant_wavelength(jnp.array([[0.05, 0.9, 0.05]]))[0])
+    wl_b = float(colour.dominant_wavelength(jnp.array([[0.05, 0.05, 0.9]]))[0])
     assert wl_r > wl_g > wl_b
     assert 600 < wl_r < 625
     assert 540 < wl_g < 560
