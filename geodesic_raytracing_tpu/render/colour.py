@@ -79,49 +79,30 @@ _R_ANG, _G_ANG, _B_ANG = -0.010759, 1.695013, -2.161580
 
 
 def dominant_wavelength(lin_rgb: Array) -> Array:
-    """Estimate each pixel's dominant wavelength from its chromaticity angle,
-    interpolating between the sRGB primary anchors — the reference's
-    ``DOMINANT_COLOUR`` redshift variant (cl.cl:5724-5792).  (The full CIE
-    1931 horseshoe table in chromaticity.hpp backs an unused experiment; the
-    shipping kernel only uses these anchors.)"""
+    """Estimate each pixel's dominant wavelength from its chromaticity angle
+    around the white point, interpolating between the sRGB primary anchors —
+    the reference's ``DOMINANT_COLOUR`` redshift variant (cl.cl:5724-5792),
+    with the sector walk cleaned up (the reference's debug-only version has
+    crossed red/blue labels).  The purple line (blue..red) lerps through the
+    anchors like the reference's fallback branch."""
     xyz = linear_rgb_to_xyz(lin_rgb)
     s = jnp.maximum(xyz.sum(-1), 1e-5)
     xy = xyz[..., :2] / s[..., None]
     v = xy - (1.0 / 3.0)
+    a = jnp.arctan2(v[..., 1], v[..., 0])
 
-    def anchor(a):
-        return jnp.stack([jnp.cos(a), jnp.sin(a)])
+    two_pi = 2.0 * jnp.pi
+    # Normalise so red sits at 0; green and blue follow counterclockwise.
+    an = jnp.mod(a - _R_ANG, two_pi)
+    g_at = jnp.mod(_G_ANG - _R_ANG, two_pi)   # ~1.706
+    b_at = jnp.mod(_B_ANG - _R_ANG, two_pi)   # ~4.132
 
-    vr, vg, vb = anchor(_R_ANG), anchor(_G_ANG), anchor(_B_ANG)
-
-    def between(v1, v2):
-        c1 = v1[1] * v2[0] - v1[0] * v2[1]
-        c2 = v1[1] * v[..., 0] - v1[0] * v[..., 1]
-        return c1 * c2 < 0
-
-    def ang(v1, v2):
-        n1 = v1 / jnp.linalg.norm(v1)
-        if v2.ndim == 1:
-            n2 = v2 / jnp.linalg.norm(v2)
-            return jnp.arccos(jnp.clip(n1 @ n2, -1, 1))
-        n2 = v2 / jnp.maximum(
-            jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-9
-        )
-        return jnp.arccos(jnp.clip(n2 @ n1, -1, 1))
-
-    in_rg = between(vr, vg)
-    in_gb = between(vg, vb)
-
-    def lerp_wl(p1, p2, w1, w2):
-        frac = ang(p1, v) / jnp.maximum(ang(p1, p2), 1e-9)
-        return w1 + (w2 - w1) * frac
-
-    wl = jnp.where(
-        in_rg, lerp_wl(vr, vg, _R_WL, _G_WL),
-        jnp.where(in_gb, lerp_wl(vg, vb, _G_WL, _B_WL),
-                  lerp_wl(vr, vb, _R_WL, _B_WL)),
+    wl_rg = _R_WL + (_G_WL - _R_WL) * an / g_at
+    wl_gb = _G_WL + (_B_WL - _G_WL) * (an - g_at) / (b_at - g_at)
+    wl_br = _B_WL + (_R_WL - _B_WL) * (an - b_at) / (two_pi - b_at)
+    return jnp.where(
+        an < g_at, wl_rg, jnp.where(an < b_at, wl_gb, wl_br)
     )
-    return wl
 
 
 def apply_redshift(lin_rgb: Array, z_shift: Array,
