@@ -43,7 +43,7 @@ def main() -> int:
         anisotropy=4,
         trilinear=False,
         adaptive_sampling=True,  # reference default (main.cpp:1152)
-        trace=TraceOptions(max_steps=16384, method="pallas", tile=4096),
+        trace=TraceOptions(max_steps=16384, method="pallas", tile=2048),
     )
     features = Features.for_metric(metric)
 
