@@ -218,7 +218,10 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     Ann = dv_dx * dv_dx + dv_dy * dv_dy + 1.0
     Bnn = -2.0 * (du_dx * dv_dx + du_dy * dv_dy)
     Cnn = du_dx * du_dx + du_dy * du_dy + 1.0
-    F = Ann * Cnn - Bnn * Bnn / 4.0
+    # Degenerate ellipses (parallel derivatives at the poles) drive F -> 0
+    # and then inf - inf = NaN downstream; clamp (the reference exhibits the
+    # same pole artifacts, but NaN pixels must not escape here).
+    F = jnp.maximum(Ann * Cnn - Bnn * Bnn / 4.0, 1e-10)
     A = Ann / F
     B = Bnn / F
     C = Cnn / F
@@ -313,4 +316,5 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     out = flat(base)
     use_multi = (ipf > 1)[:, None]
     out = out.at[order].set(jnp.where(use_multi, multi, out[order]))
+    out = jnp.where(jnp.isfinite(out), out, 0.0)
     return out.reshape(tex.shape[:-1] + (3,))
