@@ -203,12 +203,15 @@ def main(argv=None) -> int:
             for o in objects
         ]
         scene = TriangleScene.build(objects)
+        import dataclasses as _dc
+
         tsettings = settings
         if settings.adaptive_sampling:
-            import dataclasses as _dc
-
             tsettings = _dc.replace(settings, adaptive_sampling=False)
-        state, _ = init_camera_rays(metric, cam, params, tsettings, features)
+        state, _, _ = init_camera_rays(
+            metric, cam, params, _dc.replace(tsettings, planar=False),
+            features,
+        )
         _, hit, tri_col = render_triangles(
             metric, state, params, scene, geos, features=features,
             opts=TraceOptions(max_steps=min(args.max_steps, 4096),

@@ -133,8 +133,12 @@ def _render_target(metric, camera, true_params, backgrounds, settings,
     from .render import background as bgm
     from .render import pipeline as pl
 
-    state, ku = pl.init_camera_rays(metric, camera, true_params, settings,
-                                    features)
+    import dataclasses as _dc
+
+    state, ku, _ = pl.init_camera_rays(
+        metric, camera, true_params, _dc.replace(settings, planar=False),
+        features,
+    )
     fin = integrate.trace_rays(metric, state, true_params, features=features,
                                opts=settings.trace)
     rdata = pl.compute_render_data(metric, fin, ku, true_params, features)

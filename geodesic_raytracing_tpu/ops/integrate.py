@@ -85,6 +85,10 @@ class TraceOptions:
     # "while" (XLA whole-batch), "scan" (differentiable, remat),
     # "pallas" (tiled TPU kernel with per-tile early exit — the fast path).
     method: str = "while"
+    # Constant-theta planar mode (GENERIC_CONSTANT_THETA): rays were rotated
+    # into the equatorial plane at init; pin theta and drop its dynamics.
+    # Only valid for spherically symmetric metrics with plane-rotated rays.
+    planar: bool = False
     remat_every: int = 128  # checkpoint window for method="scan"
     unroll: int = 1
     tile: int = 1024  # ray tile size for method="pallas"
@@ -159,16 +163,18 @@ def acceleration_to_precision(acc: Array, max_acceleration, w_v) -> tuple[Array,
 
 
 def verlet_step(metric: Metric, position, velocity, acceleration, ds, params,
-                reparameterisation: bool):
+                reparameterisation: bool, deps=None):
     """cl.cl:3273-3346 — velocity Verlet with optional affine
     reparameterisation (K = 1/max|v'|).  All vectors component-first (4, N).
     """
+    if deps is None:
+        deps = metric.depends_on
     ds_ = ds[None, :] if position.ndim == 2 else ds
     next_position = position + velocity * ds_ + 0.5 * acceleration * ds_ * ds_
     intermediate_velocity = velocity + acceleration * ds_
     next_acceleration = geometry.acceleration_batched(
         metric.fn, next_position, intermediate_velocity, params,
-        deps=metric.depends_on,
+        deps=deps,
     )
     next_velocity = velocity + 0.5 * (acceleration + next_acceleration) * ds_
 
@@ -232,6 +238,11 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
     """
     cfg = metric.config
     w_v_const = metric.precision_weights()
+    deps = metric.depends_on
+    if opts.planar:
+        # theta is pinned; only the theta acceleration component uses d_theta
+        # and it is identically zero on the equator of a symmetric metric.
+        deps = tuple(d for d in deps if d != 2)
 
     def step(state: _StateT, params) -> _StateT:
         pos, vel, acc = state.position, state.velocity, state.acceleration
@@ -290,7 +301,7 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
             # step_euler (cl.cl:3352-3377): acceleration at the current
             # event, then a semi-implicit update.
             lacc = geometry.acceleration_batched(
-                metric.fn, pos, vel, params, deps=metric.depends_on
+                metric.fn, pos, vel, params, deps=deps
             )
             nvel = vel + lacc * ds[None, :]
             npos = pos + nvel * ds[None, :]
@@ -299,8 +310,15 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
         else:
             # Trial Verlet step (cl.cl:4144-4178).
             npos, nvel, nacc, K = verlet_step(
-                metric, pos, vel, acc, ds, params, opts.reparameterisation
+                metric, pos, vel, acc, ds, params, opts.reparameterisation,
+                deps=deps,
             )
+        if opts.planar:
+            # IS_CONSTANT_THETA pins (cl.cl:3990-3995)
+            half_pi = jnp.asarray(jnp.pi / 2, dtype=npos.dtype)
+            npos = npos.at[2].set(half_pi)
+            nvel = nvel.at[2].set(0.0)
+            nacc = nacc.at[2].set(0.0)
 
         commit = active
         next_ds = state.next_ds

@@ -96,8 +96,11 @@ def sharded_render_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
     """
     if features is None:
         features = Features.for_metric(metric)
-    state, ku = pipeline.init_camera_rays(metric, camera, params, settings,
-                                          features)
+    import dataclasses as _dc
+
+    state, ku, _ = pipeline.init_camera_rays(
+        metric, camera, params, _dc.replace(settings, planar=False), features
+    )
     n = state.position.shape[0]
     final = sharded_trace(metric, mesh, state, params, features,
                           settings.trace)

@@ -56,6 +56,9 @@ class RenderSettings:
     adaptive_threshold: float = 64.0
     prepass_scale: int = 16
     trilinear: bool = True  # mip blending; False = nearest level (cheaper)
+    # Constant-theta planar tracing for spherically symmetric metrics
+    # (exact by symmetry; GENERIC_CONSTANT_THETA).
+    planar: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -94,12 +97,14 @@ def _trace_sign(metric: Metric, settings: RenderSettings) -> float:
 
 def rays_for_pixels(metric: Metric, camera: cam.Camera, position, es, params,
                     settings: RenderSettings, features: Features,
-                    cx: Array, cy: Array):
+                    cx: Array, cy: Array, planar: bool = False):
     """Null rays for arbitrary pixel index arrays (``init_rays_generic``
     cl.cl:3143-3251 + ``geodesic_to_render_ray`` cl.cl:3000-3065).
 
     ``cx``/``cy`` are flat float arrays of pixel coordinates in the full
-    W x H image.  Returns ``(state, ku_uobsu)``.
+    W x H image.  With ``planar`` every ray is rotated into the equatorial
+    plane (``correct_lightray``).  Returns ``(state, ku_uobsu, inv_quat)``
+    (inv_quat None unless planar).
     """
     W, H = settings.width, settings.height
     fov_rad = settings.fov_degrees * jnp.pi / 180.0
@@ -122,21 +127,45 @@ def rays_for_pixels(metric: Metric, camera: cam.Camera, position, es, params,
     n = velocity.shape[0]
     positions = jnp.broadcast_to(position, (n, 4))
 
+    inv_quat = None
+    if planar:
+        from ..ops import planar as pl_planar
+
+        p_t, v_t, inv_quat = pl_planar.to_planar(
+            metric, positions.T, velocity.T, params
+        )
+        positions, velocity = p_t.T, v_t.T
+
     state = integrate.init_ray_state(
         metric, positions, velocity, params, features, fix_null_velocity=True
     )
+    if planar:
+        # pin residual theta dynamics from the rotation's fp noise
+        state = state._replace(
+            velocity=state.velocity.at[:, 2].set(0.0),
+            acceleration=state.acceleration.at[:, 2].set(0.0),
+        )
 
     # ku_uobsu: observer-frame energy at emission (cl.cl:3047-3060).
     gab = metric.fn(position, params)
     uobs_low = gab @ es[0]
     ku_uobsu = state.velocity @ uobs_low
-    return state, ku_uobsu
+    return state, ku_uobsu, inv_quat
+
+
+def _planar_enabled(metric: Metric, settings: RenderSettings) -> bool:
+    """Constant-theta planar tracing applies to spherically symmetric
+    metrics (the reference's is_polar_spherically_symmetric gate,
+    metric.hpp:557-622 -> GENERIC_CONSTANT_THETA)."""
+    return bool(metric.spherically_symmetric) and settings.planar
 
 
 def init_camera_rays(metric: Metric, camera: cam.Camera, params,
                      settings: RenderSettings,
                      features: Features = Features()):
-    """Full-image ray batch, flattened to N = W*H (row-major)."""
+    """Full-image ray batch, flattened to N = W*H (row-major).
+
+    Returns ``(state, ku_uobsu, inv_quat)``."""
     W, H = settings.width, settings.height
     position, es = camera_frame(metric, camera, params)
     yy, xx = jnp.meshgrid(
@@ -144,7 +173,8 @@ def init_camera_rays(metric: Metric, camera: cam.Camera, params,
         indexing="ij",
     )
     return rays_for_pixels(metric, camera, position, es, params, settings,
-                           features, xx.reshape(-1), yy.reshape(-1))
+                           features, xx.reshape(-1), yy.reshape(-1),
+                           planar=_planar_enabled(metric, settings))
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +261,8 @@ def _fix_ray_position_batched(p3, v3, sphere_radius):
 
 
 def compute_render_data(metric: Metric, state: RayState, ku_uobsu: Array,
-                        params, features: Features = Features()) -> RenderData:
+                        params, features: Features = Features(),
+                        inv_quat: Array | None = None) -> RenderData:
     """``calculate_render_data`` (cl.cl:5135-5220): terminated rays are
     snapped to the universe sphere, textured by final (theta, phi), with the
     observed/emitted energy ratio z_shift.
@@ -265,6 +296,13 @@ def compute_render_data(metric: Metric, state: RayState, ku_uobsu: Array,
         snapped = jnp.where(is_far[None, :], snapped_far, snapped_near)
     else:
         snapped = snapped_far
+
+    if inv_quat is not None:
+        # Planar mode: rotate the equatorial endpoint back to the ray's true
+        # plane (get_intersection_position cl.cl:5056-5064).
+        from ..ops import planar as pl_planar
+
+        snapped = pl_planar.unrotate_angles(snapped, inv_quat)
 
     side = jnp.where(polar[1] < 0, 0, 1).astype(jnp.int32)
 
@@ -388,13 +426,15 @@ def _init_rays_jit(metric: Metric, camera: cam.Camera, params,
                    settings: RenderSettings, features: Features,
                    cx: Array, cy: Array, kill: Array | None):
     position, es = camera_frame(metric, camera, params)
-    state, ku = rays_for_pixels(metric, camera, position, es, params,
-                                settings, features, cx, cy)
+    state, ku, iquat = rays_for_pixels(
+        metric, camera, position, es, params, settings, features, cx, cy,
+        planar=_planar_enabled(metric, settings),
+    )
     if kill is not None:
         state = state._replace(
             status=jnp.where(kill, integrate.DEAD, state.status)
         )
-    return state, ku
+    return state, ku, iquat
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
@@ -407,8 +447,10 @@ def _trace_phase_jit(metric: Metric, state, params,
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
 def _rdata_jit(metric: Metric, state, ku, params,
-               settings: RenderSettings, features: Features):
-    return compute_render_data(metric, state, ku, params, features)
+               settings: RenderSettings, features: Features,
+               iquat: Array | None = None):
+    return compute_render_data(metric, state, ku, params, features,
+                               inv_quat=iquat)
 
 
 def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
@@ -428,21 +470,23 @@ def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
     Phases come from ``settings.trace.compaction`` (e.g. ``(256, 1024)``),
     always followed by a final phase to ``max_steps``.
     """
-    state, ku = _init_rays_jit(metric, camera, params, settings, features,
-                               cx, cy, kill)
+    state, ku, iquat = _init_rays_jit(metric, camera, params, settings,
+                                      features, cx, cy, kill)
     opts = settings.trace
+    planar = _planar_enabled(metric, settings)
     phases = tuple(opts.compaction) + (opts.max_steps,)
     if opts.method != "pallas":
         phases = (opts.max_steps,)  # XLA paths handle divergence globally
     for phase_steps in phases:
         popts = dataclasses.replace(
-            opts, max_steps=min(phase_steps, opts.max_steps), compaction=()
+            opts, max_steps=min(phase_steps, opts.max_steps), compaction=(),
+            planar=planar,
         )
         psettings = dataclasses.replace(settings, trace=popts)
         state = _trace_phase_jit(metric, state, params, psettings, features,
                                  cost)
         cost = None  # after phase 1 the survivors' own state is the signal
-    return _rdata_jit(metric, state, ku, params, settings, features)
+    return _rdata_jit(metric, state, ku, params, settings, features, iquat)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
@@ -454,11 +498,15 @@ def _prepass_dead_map(metric: Metric, camera: cam.Camera, params,
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
-    pstate, _ = rays_for_pixels(metric, camera, position, es, params,
-                                settings, features,
-                                xx.reshape(-1), yy.reshape(-1))
+    pstate, _, _ = rays_for_pixels(metric, camera, position, es, params,
+                                   settings, features,
+                                   xx.reshape(-1), yy.reshape(-1),
+                                   planar=_planar_enabled(metric, settings))
+    popts = dataclasses.replace(
+        settings.trace, planar=_planar_enabled(metric, settings)
+    )
     pfin = integrate.trace_rays(metric, pstate, params, features=features,
-                                opts=settings.trace)
+                                opts=popts)
     dead = (pfin.status == integrate.DEAD).reshape(H, W)
     steps = pfin.steps.reshape(H, W)
     return dead, steps
@@ -665,11 +713,16 @@ def render_frame(metric: Metric, camera: cam.Camera, params,
 def _render_frame_jit(metric: Metric, camera: cam.Camera, params,
                       backgrounds: bg.Background, settings: RenderSettings,
                       features: Features) -> Array:
-    state, ku = init_camera_rays(metric, camera, params, settings, features)
-    final = integrate.trace_rays(
-        metric, state, params, features=features, opts=settings.trace
+    state, ku, iquat = init_camera_rays(metric, camera, params, settings,
+                                        features)
+    topts = dataclasses.replace(
+        settings.trace, planar=_planar_enabled(metric, settings)
     )
-    rdata = compute_render_data(metric, final, ku, params, features)
+    final = integrate.trace_rays(
+        metric, state, params, features=features, opts=topts
+    )
+    rdata = compute_render_data(metric, final, ku, params, features,
+                                inv_quat=iquat)
     return shade(rdata, backgrounds, settings)
 
 
@@ -688,7 +741,11 @@ def trace_frame(metric: Metric, camera: cam.Camera, params,
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
 def _trace_frame_jit(metric: Metric, camera: cam.Camera, params,
                      settings: RenderSettings, features: Features):
-    state, ku = init_camera_rays(metric, camera, params, settings, features)
+    # trace_frame consumers read raw final positions — keep the physical
+    # (unrotated) frame by disabling planar here.
+    nsettings = dataclasses.replace(settings, planar=False)
+    state, ku, _ = init_camera_rays(metric, camera, params, nsettings,
+                                    features)
     final = integrate.trace_rays(
         metric, state, params, features=features, opts=settings.trace
     )

@@ -235,3 +235,46 @@ def test_kerr_frame_dragging_capture_asymmetry():
     frac_minus = capture_fraction(-1.0)
     # One rotation sense must capture strictly more of the same |b| ladder.
     assert abs(frac_plus - frac_minus) > 0.05, (frac_plus, frac_minus)
+
+
+def test_planar_mode_matches_full_4d():
+    """Constant-theta planar tracing (GENERIC_CONSTANT_THETA): same fates and
+    escape angles as the full 4D march for a spherically symmetric metric."""
+    import dataclasses
+
+    from geodesic_raytracing_tpu.camera import Camera
+    from geodesic_raytracing_tpu.render import pipeline as pl
+
+    m = metrics.get_metric("schwarzschild")
+    cam = Camera.default().rotate(pitch=-np.pi / 2)
+    feats = Features.for_metric(m)
+    s4 = pl.RenderSettings(width=32, height=32, planar=False,
+                           trace=TraceOptions(max_steps=4096))
+    sp = dataclasses.replace(s4, planar=True)
+
+    def rdata(settings):
+        st, ku, iq = pl.init_camera_rays(m, cam, m.params(), settings, feats)
+        topts = dataclasses.replace(
+            settings.trace, planar=pl._planar_enabled(m, settings))
+        fin = trace_rays(m, st, m.params(), features=feats, opts=topts)
+        return pl.compute_render_data(m, fin, ku, m.params(), feats,
+                                      inv_quat=iq)
+
+    r4 = rdata(s4)
+    rp = rdata(sp)
+    t4 = np.asarray(r4.terminated)
+    tp = np.asarray(rp.terminated)
+    # Fates agree away from the pole column (the 4D path has pole artifacts
+    # the planar path does not).
+    assert (t4 == tp).mean() > 0.95
+    both = (t4 == 1) & (tp == 1)
+    a4 = np.asarray(r4.angles)[both]
+    ap = np.asarray(rp.angles)[both]
+    # compare on the unit sphere (angles wrap)
+    def vec(a):
+        th, ph = a[:, 0], a[:, 1]
+        return np.stack([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                         np.cos(th)], -1)
+    dots = np.clip((vec(a4) * vec(ap)).sum(-1), -1, 1)
+    ang = np.degrees(np.arccos(dots))
+    assert np.median(ang) < 1.0, np.median(ang)
