@@ -278,3 +278,57 @@ def test_planar_mode_matches_full_4d():
     dots = np.clip((vec(a4) * vec(ap)).sum(-1), -1, 1)
     ang = np.degrees(np.arccos(dots))
     assert np.median(ang) < 1.0, np.median(ang)
+
+
+def test_weak_field_deflection_angle():
+    """Literature anchor: light passing a mass at impact parameter b deflects
+    by ~ 2 rs / b (= 4GM/c^2 b) in the weak field."""
+    m = metrics.get_metric("schwarzschild")
+    params = m.params()
+    # Keep the whole path inside the uniform-step zone: the far-field step
+    # growth (0.1*(r-max)) is a display-envelope optimisation, not an
+    # accuracy regime.
+    feats = Features.for_metric(m, universe_size=500.0,
+                                max_precision_radius=500.0,
+                                ambient_precision=0.5)
+    r0 = 400.0
+    bs = [15.0, 25.0, 40.0]
+    n = len(bs)
+    # Launch rays from far away along -x towards the mass, offset by b in y:
+    # polar equivalent: start at (r0, pi/2, 0), velocity mostly -r with
+    # angular component b/r0^2 (L/E ~ b).
+    pos = np.tile([0.0, r0, np.pi / 2, 0.0], (n, 1)).astype(np.float32)
+    vel = np.stack(
+        [np.ones(n), -np.ones(n), np.zeros(n),
+         np.asarray(bs) / r0 ** 2],
+        axis=-1,
+    ).astype(np.float32)
+    st = init_ray_state(m, jnp.asarray(pos), jnp.asarray(vel), params, feats)
+    fin = trace_rays(m, st, params, features=feats,
+                     opts=TraceOptions(max_steps=16384))
+    assert np.all(np.asarray(fin.status) == ESCAPED)
+
+    def cart_dir(x, v):
+        r, th, ph = x[1], x[2], x[3]
+        vr, vth, vph = v[1], v[2], v[3]
+        st_, ct = np.sin(th), np.cos(th)
+        sp, cp = np.sin(ph), np.cos(ph)
+        d = np.array([
+            vr * st_ * cp + r * ct * cp * vth - r * st_ * sp * vph,
+            vr * st_ * sp + r * ct * sp * vth + r * st_ * cp * vph,
+            vr * ct - r * st_ * vth,
+        ])
+        return d / np.linalg.norm(d)
+
+    x0 = np.asarray(st.position)
+    v0 = np.asarray(st.velocity)
+    x1 = np.asarray(fin.position)
+    v1 = np.asarray(fin.velocity)
+    for i, b in enumerate(bs):
+        d0 = cart_dir(x0[i], v0[i])
+        d1 = cart_dir(x1[i], v1[i])
+        measured = float(np.arccos(np.clip(d0 @ d1, -1, 1)))
+        # 4M/b + 15 pi M^2 / 4 b^2 with M = rs/2 = 1/2.
+        expected = 2.0 / b + (15.0 * np.pi / 16.0) / b ** 2
+        np.testing.assert_allclose(measured, expected, rtol=0.04,
+                                   err_msg=f"b={b}")
