@@ -35,13 +35,6 @@ def main() -> int:
 
     metric = metrics.get_metric("kerr_boyer")
     params = metric.params()
-    # Static specialisation: bake the tunables as constants so XLA folds
-    # them through the whole kernel — the reference's "-D literal" static
-    # program (it also benches the baked build, metric_manager.hpp:153-167).
-    from geodesic_raytracing_tpu.runtime.hotswap import bake
-
-    metric = bake(metric, params)
-    params = {}
     camera = Camera.default().rotate(pitch=-np.pi / 2)
     backgrounds = bg.checker_background()
     settings = RenderSettings(
