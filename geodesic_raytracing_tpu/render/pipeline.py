@@ -37,6 +37,7 @@ class RenderData(NamedTuple):
     side: Array  # (N,) int32: 1 = r>=0 universe, 0 = far side
     terminated: Array  # (N,) int32 status
     angles: Array  # (N, 2) snapped (theta, phi)
+    steps: Array  # (N,) committed integrator steps (cost diagnostics)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -335,7 +336,7 @@ def compute_render_data(metric: Metric, state: RayState, ku_uobsu: Array,
         )
 
     return RenderData(tex_coord=tex, z_shift=z_shift, side=side,
-                      terminated=status, angles=ang)
+                      terminated=status, angles=ang, steps=state.steps)
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +378,7 @@ def _interp_rdata(c: RenderData, o: RenderData) -> RenderData:
         side=(c.side + o.side) // 2,
         terminated=c.terminated,
         angles=ang,
+        steps=c.steps,
     )
 
 
@@ -566,8 +568,16 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
     rcx = jnp.concatenate([qcx + ox for ox, oy in offsets])
     rcy = jnp.concatenate([qcy + oy for ox, oy in offsets])
     rkill = ~jnp.concatenate([should.reshape(-1)] * 3)
-    if qcost is not None:
-        rcost = jnp.concatenate([qcost] * 3)
+    # Cost estimate for tile sorting: the quarter pass measured the exact
+    # step count two pixels away — a far better predictor than the 16x
+    # prepass.  Take the max over the block's quarter neighbours.
+    qsteps = qg.steps
+    qcost_exact = jnp.maximum(
+        jnp.maximum(qsteps, jnp.roll(qsteps, -1, axis=1)),
+        jnp.maximum(jnp.roll(qsteps, -1, axis=0),
+                    jnp.roll(qsteps, (-1, -1), axis=(0, 1))),
+    ).astype(jnp.float32).reshape(-1)
+    rcost = jnp.concatenate([qcost_exact] * 3)
     rr = _traced_rdata_for_pixels(metric, camera, params, settings, features,
                                   rcx, rcy, rkill, rcost)
     nq = Wh * Hh
