@@ -66,6 +66,9 @@ def main(argv=None) -> int:
                          "(GR triangle rendering)")
     ap.add_argument("--obj", action="append", default=[], metavar="SPEC",
                     help="place an .obj mesh: path,t,x,y,z[,scale]")
+    ap.add_argument("--dump-hlo", metavar="FILE", default=None,
+                    help="write the lowered trace program (the reference's "
+                         "argument_string.txt compile-line dump analogue)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
 
@@ -157,6 +160,20 @@ def main(argv=None) -> int:
         trace=TraceOptions(max_steps=args.max_steps),
     )
     features = Features.for_metric(metric)
+
+    if args.dump_hlo:
+        import dataclasses as _dch
+
+        from .render.pipeline import _trace_frame_jit
+
+        lowered = _trace_frame_jit.lower(
+            metric, cam, params,
+            _dch.replace(settings, adaptive_sampling=False), features,
+        )
+        with open(args.dump_hlo, "w") as f:
+            f.write(lowered.as_text())
+        print(f"wrote lowered trace program to {args.dump_hlo}")
+        return 0
 
     if args.bench:
         # Warm-up compile, then the reference's frametime protocol

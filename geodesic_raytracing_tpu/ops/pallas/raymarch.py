@@ -42,46 +42,6 @@ def _flatten_params(params: dict):
 SUBLANES = 8  # f32 VPU sublane count: ray tiles are laid out (8, tile/8)
 
 
-def trace_rays_pallas_compacted(metric: Metric, state: RayState, params,
-                                features: Features = Features(),
-                                opts: TraceOptions = TraceOptions(),
-                                tile: int = DEFAULT_TILE,
-                                phases=(256, 1024, 4096),
-                                interpret: bool = False) -> RayState:
-    """Phase-wise trace with active-ray compaction between phases.
-
-    A tile iterates until its *slowest* ray terminates, so a few
-    photon-ring/pole rays can cost thousands of near-empty iterations across
-    many tiles.  Remedy: march everyone ``phases[0]`` steps, then gather the
-    survivors (typically a few %) into a dense prefix via a stable sort and
-    march only those further.  This replaces the reference's per-work-item
-    early exit (cl.cl do_generic_rays ``return``) at batch scale — the
-    TPU-native answer to SURVEY §7 hard-part (b) "per-ray divergence".
-
-    The final phase always runs to ``opts.max_steps`` so the step budget
-    matches the uncompacted path.
-    """
-    import dataclasses as _dc
-
-    n = state.position.shape[0]
-    order = jnp.arange(n)
-    st = state
-
-    all_phases = tuple(phases) + (opts.max_steps,)
-    for phase_steps in all_phases:
-        popts = _dc.replace(opts, max_steps=min(phase_steps, opts.max_steps))
-        st = trace_rays_pallas(metric, st, params, features=features,
-                               opts=popts, tile=tile, interpret=interpret)
-        active = st.status == integrate.ACTIVE
-        # Stable partition: active rays first, everyone else keeps order.
-        perm = jnp.argsort(~active, stable=True)
-        st = jax.tree.map(lambda x: x[perm], st)
-        order = order[perm]
-
-    inv = jnp.argsort(order)
-    return jax.tree.map(lambda x: x[inv], st)
-
-
 def trace_rays_pallas(metric: Metric, state: RayState, params,
                       features: Features = Features(),
                       opts: TraceOptions = TraceOptions(),
