@@ -127,12 +127,12 @@ def make_train_step(metric: Metric, mesh: Mesh,
         features = Features.for_metric(metric)
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
+    import dataclasses as _dc
+
     opts = settings.trace
     if opts.method != "scan":
-        opts = TraceOptions(
-            max_steps=opts.max_steps, reparameterisation=opts.reparameterisation,
-            method="scan", remat_every=opts.remat_every, unroll=opts.unroll,
-        )
+        # The differentiable path needs the fixed-length remat scan.
+        opts = _dc.replace(opts, method="scan")
 
     W, H = settings.width, settings.height
     n_rays = W * H
