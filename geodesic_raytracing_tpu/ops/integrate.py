@@ -375,7 +375,8 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
 def trace_rays(metric: Metric, state: RayState, params,
                features: Features = Features(),
                opts: TraceOptions = TraceOptions(),
-               sort_key: Array | None = None) -> RayState:
+               sort_key: Array | None = None,
+               f_in_x: Array | None = None) -> RayState:
     """March every ray to termination or the step limit.
 
     ``opts.method``:
@@ -390,10 +391,12 @@ def trace_rays(metric: Metric, state: RayState, params,
 
         return raymarch.trace_rays_pallas(metric, state, params,
                                           features=features, opts=opts,
-                                          tile=opts.tile, sort_key=sort_key)
+                                          tile=opts.tile, sort_key=sort_key,
+                                          f_in_x=f_in_x)
 
     st = _transpose_in(state)
-    f_in_x = jnp.abs(st.velocity[0])
+    if f_in_x is None:
+        f_in_x = jnp.abs(st.velocity[0])
     step = make_step_fn(metric, features, opts, f_in_x)
 
     if opts.method == "while":

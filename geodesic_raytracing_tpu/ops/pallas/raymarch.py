@@ -47,7 +47,8 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
                       opts: TraceOptions = TraceOptions(),
                       tile: int = DEFAULT_TILE,
                       interpret: bool = False,
-                      sort_key: Array | None = None) -> RayState:
+                      sort_key: Array | None = None,
+                      f_in_x: Array | None = None) -> RayState:
     """Pallas-tiled twin of :func:`integrate.trace_rays` (while method).
 
     Rays are packed per tile into full (8, tile/8) VPU registers — a flat
@@ -78,7 +79,13 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
     pos = state.position.T
     vel = state.velocity.T
     acc = state.acceleration.T
-    f_in_x = jnp.abs(vel[0])
+    if f_in_x is None:
+        # Blow-up kill baseline = launch-time |v_t| (cl.cl:3990).  Phased
+        # callers must pass the original value, or re-seeding from the
+        # current (already grown) v_t would defuse the kill test.
+        f_in_x = jnp.abs(vel[0])
+    else:
+        f_in_x = f_in_x[perm]
 
     def pack_v(x, fill=0.0):  # (4, N) -> (n_tiles, 4, 8, lanes)
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)), constant_values=fill)

@@ -148,7 +148,7 @@ def make_train_step(metric: Metric, mesh: Mesh,
             metric, position, params, basis_speed3=camera.basis_speed,
             orient=True,
         )
-        sign = 1.0 if metric.config.follow_geodesics_forward else -1.0
+        sign = pipeline._trace_sign(metric, settings)
         velocity = (
             dirs[:, 0:1] * es[1][None, :]
             + dirs[:, 1:2] * es[2][None, :]

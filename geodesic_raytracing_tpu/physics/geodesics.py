@@ -80,7 +80,11 @@ def record_geodesic(metric: Metric, x0: Array, v0: Array, params,
     vel = jnp.concatenate([v0_fixed[None], vel])
     ds = jnp.where(committed, ds, 0.0)
     ds = jnp.concatenate([ds, jnp.zeros((1,), dtype=ds.dtype)])
-    count = jnp.sum(committed.astype(jnp.int32)) + 1
+    # Rejected adaptive trials also record (duplicate) nodes, so the valid
+    # range must extend to the LAST committed node, not the commit count.
+    idxs = jnp.arange(1, n_steps + 1, dtype=jnp.int32)
+    last = jnp.max(jnp.where(committed, idxs, 0))
+    count = last + 1
     tau = jnp.concatenate(
         [jnp.zeros((1,), dtype=ds.dtype), jnp.cumsum(ds[:-1])]
     )

@@ -43,18 +43,6 @@ class Background(NamedTuple):
         return self.level_w.shape[0]
 
 
-def _downsample2(img: np.ndarray) -> np.ndarray:
-    """2x2 box filter with odd-size handling by edge-clamping."""
-    h, w, c = img.shape
-    if h % 2:
-        img = np.concatenate([img, img[-1:]], axis=0)
-        h += 1
-    if w % 2:
-        img = np.concatenate([img, img[:, -1:]], axis=1)
-        w += 1
-    return img.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
-
-
 def build_background(image: np.ndarray, image2: np.ndarray | None = None,
                      levels: int = MIP_LEVELS) -> Background:
     """Build the mip atlas from (H, W, 3) float32 linear images
@@ -150,8 +138,12 @@ def _bilinear_level(bgr: Background, side: Array, uv: Array, level: Array) -> Ar
 
     xoff = bgr.level_x[level]
 
+    # Reference read_mipmap: side >= 1 samples the PRIMARY background
+    # (cl.cl:5450 `side >= 1 ? v1 : v2`); atlas[0] is primary.
+    atlas_idx = jnp.where(side >= 1, 0, 1)
+
     def gather(yy, xx):
-        return bgr.atlas[side, yy, xoff + xx, :]
+        return bgr.atlas[atlas_idx, yy, xoff + xx, :]
 
     c00 = gather(y0, x0)
     c01 = gather(y0, x1)

@@ -195,32 +195,6 @@ def angle_to_tex(angles: Array) -> Array:
     return jnp.stack([sx, sy], axis=-1)
 
 
-def _fix_ray_position(polar_pos3, polar_vel3, sphere_radius):
-    """Snap a terminated ray onto the termination sphere along its straight
-    cartesian velocity (``fix_ray_position`` cl.cl:239-263)."""
-    position_sign = jnp.sign(polar_pos3[0])
-    position_sign = jnp.where(position_sign == 0, 1.0, position_sign)
-    cpolar = polar_pos3.at[0].set(jnp.abs(polar_pos3[0]))
-    cvel = polar_vel3.at[0].multiply(position_sign)
-
-    cart_vel = tr.spherical_velocity_to_cartesian_velocity(cpolar, cvel)
-    cart_pos = tr.polar_to_cartesian3(cpolar)
-
-    # line-sphere intersection, nearest |t| root (cl.cl:211-237)
-    v = cart_vel / jnp.linalg.norm(cart_vel)
-    b = 2.0 * (v @ cart_pos)
-    c = cart_pos @ cart_pos - sphere_radius * sphere_radius
-    disc = b * b - 4.0 * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t0 = (-b - sq) / 2.0
-    t1 = (-b + sq) / 2.0
-    t = jnp.where(jnp.abs(t0) < jnp.abs(t1), t0, t1)
-    new_cart = jnp.where(disc < 0, cart_pos, cart_pos + t * v)
-
-    new_polar = tr.cartesian_to_polar3(new_cart)
-    return new_polar.at[0].multiply(position_sign)
-
-
 def _fix_ray_position_batched(p3, v3, sphere_radius):
     """Batched :func:`_fix_ray_position`: p3/v3 (3, N) polar (r, theta, phi)
     position/velocity.  Returns snapped (3, N)."""
@@ -288,13 +262,23 @@ def compute_render_data(metric: Metric, state: RayState, ku_uobsu: Array,
     # the terminator sphere (get_intersection_position cl.cl:5024-5050).
     snapped_far = _fix_ray_position_batched(polar[1:], polar_vel[1:],
                                             features.universe_size)
-    if cfg.singular:
+    if cfg.singular and cfg.traversable_event_horizon:
+        # Terminator-sphere snap only for traversable horizons
+        # (cl.cl:5041-5045 `#if defined(SINGULAR) && defined(TRAVERSABLE_
+        # EVENT_HORIZON)`); non-traversable metrics keep the raw endpoint so
+        # the |r| <= 1 black test below can fire.
         snapped_near = _fix_ray_position_batched(polar[1:], polar_vel[1:],
                                                  cfg.singular_terminator)
         is_far = jnp.abs(polar[1]) >= 0.5 * (
             features.universe_size + cfg.singular_terminator
         )
         snapped = jnp.where(is_far[None, :], snapped_far, snapped_near)
+    elif cfg.singular:
+        is_far = jnp.abs(polar[1]) >= 0.5 * (
+            features.universe_size + cfg.singular_terminator
+        )
+        raw = jnp.stack([polar[1], polar[2], polar[3]])
+        snapped = jnp.where(is_far[None, :], snapped_far, raw)
     else:
         snapped = snapped_far
 
@@ -442,9 +426,11 @@ def _init_rays_jit(metric: Metric, camera: cam.Camera, params,
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
 def _trace_phase_jit(metric: Metric, state, params,
                      settings: RenderSettings, features: Features,
-                     cost: Array | None = None):
+                     cost: Array | None = None,
+                     f_in_x: Array | None = None):
     return integrate.trace_rays(metric, state, params, features=features,
-                                opts=settings.trace, sort_key=cost)
+                                opts=settings.trace, sort_key=cost,
+                                f_in_x=f_in_x)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
@@ -474,6 +460,8 @@ def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
     """
     state, ku, iquat = _init_rays_jit(metric, camera, params, settings,
                                       features, cx, cy, kill)
+    # Launch-time |v_t| (the blow-up kill baseline) must survive phasing.
+    f_in_x = jnp.abs(state.velocity[:, 0])
     opts = settings.trace
     planar = _planar_enabled(metric, settings)
     phases = tuple(opts.compaction) + (opts.max_steps,)
@@ -486,7 +474,7 @@ def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
         )
         psettings = dataclasses.replace(settings, trace=popts)
         state = _trace_phase_jit(metric, state, params, psettings, features,
-                                 cost)
+                                 cost, f_in_x)
         cost = None  # after phase 1 the survivors' own state is the signal
     return _rdata_jit(metric, state, ku, params, settings, features, iquat)
 

@@ -28,7 +28,10 @@ def save_checkpoint(path: str | Path, step: int, params: dict,
             {f"opt/{k}": np.asarray(v) for k, v in opt_state.items()}
         )
 
-    fd, tmp = tempfile.mkstemp(dir=str(path), suffix=".npz.tmp")
+    # np.savez appends ".npz" unless the name already ends with it, so the
+    # temp file must carry the suffix or the atomic rename moves an empty
+    # file into place.
+    fd, tmp = tempfile.mkstemp(dir=str(path), suffix=".tmp.npz")
     os.close(fd)
     np.savez(tmp, **arrays)
     os.replace(tmp, path / "arrays.npz")

@@ -51,7 +51,7 @@ def main() -> int:
         trace=TraceOptions(max_steps=args.max_steps),
     )
     feats = Features.for_metric(m)
-    state, _ = init_camera_rays(m, camera, params, settings, feats)
+    state, _, _ = init_camera_rays(m, camera, params, settings, feats)
     n_rays = state.position.shape[0]
 
     all_devices = jax.devices()

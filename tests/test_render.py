@@ -40,10 +40,13 @@ def test_two_sided_background():
     img2[..., 2] = 1.0
     b = bg.build_background(img, img2)
     uv = jnp.array([[0.5, 0.5]])
-    r = np.asarray(bg.read_mipmap(b, jnp.array([0]), uv, jnp.array([0.0])))
-    bl = np.asarray(bg.read_mipmap(b, jnp.array([1]), uv, jnp.array([0.0])))
-    np.testing.assert_allclose(r[0], [1, 0, 0], atol=1e-5)
-    np.testing.assert_allclose(bl[0], [0, 0, 1], atol=1e-5)
+    # side >= 1 samples the PRIMARY background (cl.cl:5450); side 0 = the
+    # far-side universe.
+    primary = np.asarray(bg.read_mipmap(b, jnp.array([1]), uv,
+                                        jnp.array([0.0])))
+    far = np.asarray(bg.read_mipmap(b, jnp.array([0]), uv, jnp.array([0.0])))
+    np.testing.assert_allclose(primary[0], [1, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(far[0], [0, 0, 1], atol=1e-5)
 
 
 def test_ewa_uniform_field_invariant():
