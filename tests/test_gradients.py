@@ -81,3 +81,40 @@ def test_grad_wrt_kerr_spin_finite():
     )
     assert np.isfinite(float(g))
     np.testing.assert_allclose(float(g), float(fd), rtol=0.2, atol=5e-3)
+
+
+def test_grad_wrt_camera_pose():
+    """North-star: pixel observables differentiate w.r.t. camera pose too.
+    Gradient of the mean escape angle w.r.t. the camera radius vs FD."""
+    import dataclasses
+
+    from geodesic_raytracing_tpu.camera import Camera
+    from geodesic_raytracing_tpu.render import pipeline as pl
+
+    m = metrics.get_metric("schwarzschild")
+    feats = Features.for_metric(m)
+    settings = pl.RenderSettings(
+        width=8, height=8, planar=False,
+        trace=TraceOptions(max_steps=192, method="scan", remat_every=32),
+    )
+    params = m.params()
+
+    def loss(cam_r):
+        cam = Camera.default().rotate(pitch=-np.pi / 2)
+        cam = cam._replace(
+            polar_position=cam.polar_position.at[1].set(cam_r)
+        )
+        st, ku, _ = pl.init_camera_rays(m, cam, params, settings, feats)
+        fin = trace_rays(m, st, params, features=feats, opts=settings.trace)
+        esc = (fin.status == ESCAPED).astype(jnp.float32)
+        return jnp.sum(fin.position[:, 3] * esc) / jnp.maximum(
+            jnp.sum(esc), 1.0
+        )
+
+    g = jax.grad(loss)(jnp.float32(7.0))
+    eps = 1e-2
+    fd = (loss(jnp.float32(7.0 + eps)) - loss(jnp.float32(7.0 - eps))) / (
+        2 * eps
+    )
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.15, atol=1e-4)
