@@ -41,6 +41,42 @@ def _flatten_params(params: dict):
 
 SUBLANES = 8  # f32 VPU sublane count: ray tiles are laid out (8, tile/8)
 
+N_COST_BUCKETS = 16  # quantisation of the cost key for the O(N) partition
+
+
+def _bucket_partition(dead: Array, cost: Array | None):
+    """O(N) stable partition replacing argsort (TPU sorts are bitonic and
+    cost more than the ray march itself at ~500k keys).
+
+    Buckets: descending quantised cost for live rays, dead rays last; rank
+    within a bucket via cumsum.  Returns ``(perm, dest)`` where
+    ``packed = x[perm]`` and ``original = packed[dest]``.
+    """
+    n = dead.shape[0]
+    if cost is None:
+        bucket = dead.astype(jnp.int32)  # 0 live, 1 dead
+        n_buckets = 2
+    else:
+        n_buckets = N_COST_BUCKETS + 1
+        cmax = jnp.maximum(jnp.max(jnp.where(dead, 0.0, cost)), 1.0)
+        q = jnp.clip(cost / cmax, 0.0, 1.0)
+        live_bucket = jnp.round((1.0 - q) * (N_COST_BUCKETS - 1)).astype(
+            jnp.int32
+        )
+        bucket = jnp.where(dead, N_COST_BUCKETS, live_bucket)
+
+    dest = jnp.zeros((n,), dtype=jnp.int32)
+    offset = jnp.int32(0)
+    for k in range(n_buckets):
+        in_k = bucket == k
+        rank = jnp.cumsum(in_k.astype(jnp.int32)) - 1
+        dest = jnp.where(in_k, offset + rank, dest)
+        offset = offset + jnp.sum(in_k.astype(jnp.int32))
+    perm = jnp.zeros((n,), dtype=jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return perm, dest
+
 
 def trace_rays_pallas(metric: Metric, state: RayState, params,
                       features: Features = Features(),
@@ -68,13 +104,10 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
     # pack to the back so whole tiles of them exit after one iteration; live
     # rays sort by estimated cost so tiles are cost-uniform.
     dead = state.status != integrate.ACTIVE
-    if sort_key is None:
-        perm = jnp.argsort(dead, stable=True)
-    else:
-        key = jnp.where(dead, jnp.inf, -sort_key.astype(jnp.float32))
-        perm = jnp.argsort(key, stable=True)
+    perm, inv_perm = _bucket_partition(
+        dead, None if sort_key is None else sort_key.astype(jnp.float32)
+    )
     state = jax.tree.map(lambda x: x[perm], state)
-    inv_perm = jnp.argsort(perm)
 
     pos = state.position.T
     vel = state.velocity.T
