@@ -52,7 +52,8 @@ def _bucket_partition(dead: Array, cost: Array | None):
     within a bucket via cumsum.  Returns ``(perm, dest)`` where
     ``packed = x[perm]`` and ``original = packed[dest]``.
     """
-    n = dead.shape[0]
+    from .. import packing
+
     if cost is None:
         bucket = dead.astype(jnp.int32)  # 0 live, 1 dead
         n_buckets = 2
@@ -64,18 +65,7 @@ def _bucket_partition(dead: Array, cost: Array | None):
             jnp.int32
         )
         bucket = jnp.where(dead, N_COST_BUCKETS, live_bucket)
-
-    dest = jnp.zeros((n,), dtype=jnp.int32)
-    offset = jnp.int32(0)
-    for k in range(n_buckets):
-        in_k = bucket == k
-        rank = jnp.cumsum(in_k.astype(jnp.int32)) - 1
-        dest = jnp.where(in_k, offset + rank, dest)
-        offset = offset + jnp.sum(in_k.astype(jnp.int32))
-    perm = jnp.zeros((n,), dtype=jnp.int32).at[dest].set(
-        jnp.arange(n, dtype=jnp.int32)
-    )
-    return perm, dest
+    return packing.bucket_sort_perm(bucket, n_buckets)
 
 
 def trace_rays_pallas(metric: Metric, state: RayState, params,

@@ -277,7 +277,16 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
         return x.reshape((n_pix,) + x.shape[tex.ndim - 1:])
 
     ip_f = flat(i_probes)
-    order = jnp.argsort(-ip_f)[:k]
+    # Group pixels by descending probe count with an O(N) counting partition
+    # (ops.packing) instead of argsort — a bitonic sort over 2M keys costs
+    # more than the whole probe loop.  i_probes is already in
+    # [1, max_probes], so (max_probes - i_probes) is an exact bucket key and
+    # the first k entries of the partition are exactly argsort(-i_probes)[:k]
+    # up to tie order (irrelevant: ties get identical treatment).
+    from ..ops import packing
+
+    order, _ = packing.bucket_sort_perm(max_probes - ip_f, max_probes)
+    order = order[:k]
 
     texf = flat(tex)[order]
     sidef = flat(side)[order]
