@@ -116,12 +116,29 @@ def load_background(path: str, path2: str | None = None) -> Background:
 # Sampling
 # ---------------------------------------------------------------------------
 
+def _level_tables(bgr: Background, level: Array):
+    """Per-pixel (w, h, xoff) for a traced mip level WITHOUT gathers: a
+    10-way select chain over static level slots.  ``level_w[level]`` as a
+    fancy-index is a full gather row per pixel per table on TPU — measured
+    to cost more than the actual atlas texel gathers."""
+    wi = jnp.zeros(level.shape, jnp.int32)
+    hi = jnp.zeros(level.shape, jnp.int32)
+    xo = jnp.zeros(level.shape, jnp.int32)
+    for l in range(bgr.levels):
+        sel = level == l
+        wi = jnp.where(sel, bgr.level_w[l], wi)
+        hi = jnp.where(sel, bgr.level_h[l], hi)
+        xo = jnp.where(sel, bgr.level_x[l], xo)
+    return wi, hi, xo
+
+
 def _bilinear_level(bgr: Background, side: Array, uv: Array, level: Array) -> Array:
     """Bilinear wrap-sample one mip level (CLK_ADDRESS_REPEAT + FILTER_LINEAR,
     cl.cl:5846 ``read_mipmap``).  All args per-pixel arrays; uv (..., 2)."""
     level = jnp.clip(level, 0, bgr.levels - 1)
-    w = bgr.level_w[level].astype(jnp.float32)
-    h = bgr.level_h[level].astype(jnp.float32)
+    wi, hi, xoff = _level_tables(bgr, level)
+    w = wi.astype(jnp.float32)
+    h = hi.astype(jnp.float32)
     x0f = uv[..., 0] * w - 0.5
     y0f = uv[..., 1] * h - 0.5
     xi = jnp.floor(x0f)
@@ -129,14 +146,10 @@ def _bilinear_level(bgr: Background, side: Array, uv: Array, level: Array) -> Ar
     fx = (x0f - xi)[..., None]
     fy = (y0f - yi)[..., None]
 
-    wi = bgr.level_w[level]
-    hi = bgr.level_h[level]
     x0 = jnp.mod(xi.astype(jnp.int32), wi)
     x1 = jnp.mod(x0 + 1, wi)
     y0 = jnp.mod(yi.astype(jnp.int32), hi)
     y1 = jnp.mod(y0 + 1, hi)
-
-    xoff = bgr.level_x[level]
 
     # Reference read_mipmap: side >= 1 samples the PRIMARY background
     # (cl.cl:5450 `side >= 1 ? v1 : v2`); atlas[0] is primary.

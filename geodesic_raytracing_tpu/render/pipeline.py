@@ -56,6 +56,13 @@ class RenderSettings:
     adaptive_sampling: bool = False
     adaptive_threshold: float = 64.0
     prepass_scale: int = 16
+    # Refinement ray budget as a fraction of quarter blocks.  The reference
+    # emits a variable-length refinement list via atomic_add (cl.cl:5294);
+    # static TPU shapes need a bound.  Blocks are prioritised by angular
+    # error (terminated-mismatch blocks first), so when a frame wants more
+    # refinement than the budget, the lowest-error blocks fall back to
+    # sphere interpolation.  1.0 = trace every block densely (no budget).
+    refine_budget: float = 0.375
     trilinear: bool = True  # mip blending; False = nearest level (cheaper)
     # Constant-theta planar tracing for spherically symmetric metrics
     # (exact by symmetry; GENERIC_CONSTANT_THETA).
@@ -547,15 +554,8 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
         return x.reshape((Hh, Wh) + x.shape[1:])
 
     qg = RenderData(*(grid(f) for f in qr))
+    nq = Wh * Hh
 
-    # --- refinement decision (cl.cl:5240-5285) --------------------------
-    should = _adaptive_should_sample(qg, settings)
-
-    # --- refinement pass: 3 rays per sampled block ----------------------
-    offsets = ((1, 0), (0, 1), (1, 1))
-    rcx = jnp.concatenate([qcx + ox for ox, oy in offsets])
-    rcy = jnp.concatenate([qcy + oy for ox, oy in offsets])
-    rkill = ~jnp.concatenate([should.reshape(-1)] * 3)
     # Cost estimate for tile sorting: the quarter pass measured the exact
     # step count two pixels away — a far better predictor than the 16x
     # prepass.  Take the max over the block's quarter neighbours.
@@ -565,23 +565,53 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
         jnp.maximum(jnp.roll(qsteps, -1, axis=0),
                     jnp.roll(qsteps, (-1, -1), axis=(0, 1))),
     ).astype(jnp.float32).reshape(-1)
-    rcost = jnp.concatenate([qcost_exact] * 3)
-    rr = _traced_rdata_for_pixels(metric, camera, params, settings, features,
-                                  rcx, rcy, rkill, rcost)
-    nq = Wh * Hh
-    rparts = [
-        RenderData(*(grid(f[i * nq:(i + 1) * nq]) for f in rr))
-        for i in range(3)
-    ]
+
+    offsets = ((1, 0), (0, 1), (1, 1))
+    if settings.refine_budget < 1.0:
+        # --- budgeted refinement: trace only the top-k error blocks -----
+        k = max(min(nq, 1024), (int(nq * settings.refine_budget) // 8) * 8)
+        should, sel, dest = _select_refine_blocks(qg, settings, k)
+        sflat = should.reshape(-1)[sel]
+        rcx = jnp.concatenate([qcx[sel] + ox for ox, oy in offsets])
+        rcy = jnp.concatenate([qcy[sel] + oy for ox, oy in offsets])
+        rkill = ~jnp.concatenate([sflat] * 3)
+        rcost = jnp.concatenate([qcost_exact[sel]] * 3)
+        rr = _traced_rdata_for_pixels(metric, camera, params, settings,
+                                      features, rcx, rcy, rkill, rcost)
+
+        def unbudget(f, i):
+            part = f[i * k:(i + 1) * k]
+            filler = jnp.zeros((nq - k,) + part.shape[1:], part.dtype)
+            return grid(jnp.concatenate([part, filler])[dest])
+
+        rparts = [RenderData(*(unbudget(f, i) for f in rr))
+                  for i in range(3)]
+        # Blocks over budget fall back to interpolation.
+        traced_ok = should & (dest < k).reshape(Hh, Wh)
+    else:
+        # --- dense refinement: every block's 3 rays exist, masked -------
+        should = _adaptive_should_sample(qg, settings)
+        rcx = jnp.concatenate([qcx + ox for ox, oy in offsets])
+        rcy = jnp.concatenate([qcy + oy for ox, oy in offsets])
+        rkill = ~jnp.concatenate([should.reshape(-1)] * 3)
+        rcost = jnp.concatenate([qcost_exact] * 3)
+        rr = _traced_rdata_for_pixels(metric, camera, params, settings,
+                                      features, rcx, rcy, rkill, rcost)
+        rparts = [
+            RenderData(*(grid(f[i * nq:(i + 1) * nq]) for f in rr))
+            for i in range(3)
+        ]
+        traced_ok = should
 
     # --- assemble full image -------------------------------------------
-    return _adaptive_assemble(qg, rparts[0], rparts[1], rparts[2], should,
+    return _adaptive_assemble(qg, rparts[0], rparts[1], rparts[2], traced_ok,
                               settings)
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
-def _adaptive_should_sample(qg: RenderData, settings: RenderSettings) -> Array:
-    """Per-quarter-block refinement decision (cl.cl:5240-5285)."""
+def _refine_error_terms(qg: RenderData, settings: RenderSettings):
+    """Shared refinement-decision terms (cl.cl:5240-5285): the angular
+    error ratio (rel_err / threshold, >= 1 means refine) and the
+    must-refine mask (terminated mismatch or image border)."""
     Hh, Wh = qg.terminated.shape
     W = settings.width
 
@@ -595,7 +625,8 @@ def _adaptive_should_sample(qg: RenderData, settings: RenderSettings) -> Array:
 
     fov_rad = settings.fov_degrees * 2.0 * jnp.pi / 360.0
     per_pixel = fov_rad / W
-    should = rel_err >= per_pixel * settings.adaptive_threshold
+    err_ratio = rel_err / (per_pixel * settings.adaptive_threshold)
+
     t = qg.terminated
     mism = (
         (t != shift(t, 0, -1))
@@ -604,11 +635,47 @@ def _adaptive_should_sample(qg: RenderData, settings: RenderSettings) -> Array:
         | (t != shift(t, 1, 0))
         | (t != shift(t, 1, 1))
     )
-    should = should | mism
     border = jnp.zeros((Hh, Wh), dtype=bool)
     border = border.at[0, :].set(True).at[-1, :].set(True)
     border = border.at[:, 0].set(True).at[:, -1].set(True)
-    return should | border
+    return err_ratio, mism | border
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _adaptive_should_sample(qg: RenderData, settings: RenderSettings) -> Array:
+    """Per-quarter-block refinement decision (cl.cl:5240-5285)."""
+    err_ratio, must = _refine_error_terms(qg, settings)
+    return (err_ratio >= 1.0) | must
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "k"))
+def _select_refine_blocks(qg: RenderData, settings: RenderSettings, k: int):
+    """Top-k refinement blocks by error priority, O(N) bucket partition.
+
+    The reference builds an unbounded refinement list with atomic_add
+    (cl.cl:5294); a static TPU batch needs a bound, so blocks are bucketed —
+    must-refine (terminated mismatch/border) first, then by descending
+    angular error — and the k highest win.  Returns ``(should, sel, dest)``:
+    ``sel`` the selected flat block ids, ``dest`` the inverse permutation
+    (``concat(parts, filler)[dest]`` scatters k results back to N blocks,
+    gather-only), with ``dest < k`` marking selected blocks.
+    """
+    err_ratio, must = _refine_error_terms(qg, settings)
+    should = (err_ratio >= 1.0) | must
+
+    # Buckets: 0 = must-refine; 1..14 descending error (log2 steps);
+    # 15 = below threshold.
+    logr = jnp.log2(jnp.maximum(err_ratio, 1e-20))
+    by_err = jnp.clip(14.0 - jnp.floor(logr * 2.0), 1.0, 14.0).astype(
+        jnp.int32
+    )
+    bucket = jnp.where(should, by_err, 15)
+    bucket = jnp.where(must, 0, bucket)
+
+    from ..ops import packing
+
+    perm, dest = packing.bucket_sort_perm(bucket.reshape(-1), 16)
+    return should, perm[:k], dest
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
