@@ -14,7 +14,8 @@ which, graphics_settings.cpp:214-243).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -25,22 +26,49 @@ Array = jax.Array
 MIP_LEVELS = 10  # reference uses 10 (graphics_settings.cpp:165)
 
 
-class Background(NamedTuple):
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("atlas",),
+    meta_fields=("level_w", "level_h", "level_x"),
+)
+@dataclasses.dataclass(frozen=True)
+class Background:
     """Mip atlas for both universe sides.
 
     ``atlas``: (2, H, 2W, 3) float32 linear RGB.  Level l of side s occupies
     ``atlas[s, :H>>l, offs[l]:offs[l]+(W>>l), :]``.
-    ``level_w, level_h, level_x``: (L,) int32 per-level sizes and x offsets.
+    ``level_w, level_h, level_x``: per-level sizes and x offsets — STATIC
+    tuples of Python ints (pytree aux data), so level geometry is baked into
+    the compiled program: the per-pixel level->size mapping lowers to shifts
+    (pow2) or literal select chains instead of table gathers, and wrap
+    addressing lowers to a bitwise AND instead of an integer mod by a
+    dynamic divisor (no integer-divide hardware on the VPU).  Changing the
+    background resolution recompiles, matching the reference rebuilding its
+    CL image array (graphics_settings.cpp:152-212).
     """
 
     atlas: Array
-    level_w: Array
-    level_h: Array
-    level_x: Array
+    level_w: tuple
+    level_h: tuple
+    level_x: tuple
 
     @property
     def levels(self) -> int:
-        return self.level_w.shape[0]
+        return len(self.level_w)
+
+    @property
+    def pow2(self) -> bool:
+        """True when every level size is a power of two AND levels halve
+        exactly — wrap becomes AND, level tables become shifts."""
+        w0, h0 = self.level_w[0], self.level_h[0]
+        if w0 & (w0 - 1) or h0 & (h0 - 1):
+            return False
+        return all(
+            self.level_w[l] == max(w0 >> l, 1)
+            and self.level_h[l] == max(h0 >> l, 1)
+            and self.level_x[l] == 2 * w0 - max((2 * w0) >> l, 2)
+            for l in range(self.levels)
+        )
 
 
 def build_background(image: np.ndarray, image2: np.ndarray | None = None,
@@ -65,9 +93,9 @@ def build_background(image: np.ndarray, image2: np.ndarray | None = None,
 
     return Background(
         atlas=jnp.asarray(atlas),
-        level_w=jnp.asarray(lw, dtype=jnp.int32),
-        level_h=jnp.asarray(lh, dtype=jnp.int32),
-        level_x=jnp.asarray(lx, dtype=jnp.int32),
+        level_w=tuple(int(v) for v in lw),
+        level_h=tuple(int(v) for v in lh),
+        level_x=tuple(int(v) for v in lx),
     )
 
 
@@ -117,10 +145,19 @@ def load_background(path: str, path2: str | None = None) -> Background:
 # ---------------------------------------------------------------------------
 
 def _level_tables(bgr: Background, level: Array):
-    """Per-pixel (w, h, xoff) for a traced mip level WITHOUT gathers: a
-    10-way select chain over static level slots.  ``level_w[level]`` as a
-    fancy-index is a full gather row per pixel per table on TPU — measured
-    to cost more than the actual atlas texel gathers."""
+    """Per-pixel (w, h, xoff) for a traced mip level WITHOUT gathers.
+
+    pow2 pyramids (the common case) lower to pure shifts; otherwise a
+    select chain over literal level slots.  Either way no table gathers —
+    ``level_w[level]`` as a fancy-index is a full gather row per pixel per
+    table on TPU, measured to cost more than the actual atlas texel
+    gathers."""
+    if bgr.pow2:
+        w0, h0 = bgr.level_w[0], bgr.level_h[0]
+        wi = jnp.int32(w0) >> level
+        hi = jnp.int32(h0) >> level
+        xo = jnp.int32(2 * w0) - (jnp.int32(2 * w0) >> level)
+        return wi, hi, xo
     wi = jnp.zeros(level.shape, jnp.int32)
     hi = jnp.zeros(level.shape, jnp.int32)
     xo = jnp.zeros(level.shape, jnp.int32)
@@ -146,10 +183,19 @@ def _bilinear_level(bgr: Background, side: Array, uv: Array, level: Array) -> Ar
     fx = (x0f - xi)[..., None]
     fy = (y0f - yi)[..., None]
 
-    x0 = jnp.mod(xi.astype(jnp.int32), wi)
-    x1 = jnp.mod(x0 + 1, wi)
-    y0 = jnp.mod(yi.astype(jnp.int32), hi)
-    y1 = jnp.mod(y0 + 1, hi)
+    if bgr.pow2:
+        # Wrap = bitwise AND (sizes are powers of two; AND handles the
+        # negative -1 row from the -0.5 texel shift as well) — integer mod
+        # by a traced divisor has no VPU hardware and dominates the stage.
+        x0 = xi.astype(jnp.int32) & (wi - 1)
+        x1 = (x0 + 1) & (wi - 1)
+        y0 = yi.astype(jnp.int32) & (hi - 1)
+        y1 = (y0 + 1) & (hi - 1)
+    else:
+        x0 = jnp.mod(xi.astype(jnp.int32), wi)
+        x1 = jnp.mod(x0 + 1, wi)
+        y0 = jnp.mod(yi.astype(jnp.int32), hi)
+        y1 = jnp.mod(y0 + 1, hi)
 
     # Reference read_mipmap: side >= 1 samples the PRIMARY background
     # (cl.cl:5450 `side >= 1 ? v1 : v2`); atlas[0] is primary.
@@ -212,8 +258,8 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     dx_vtc = _circular_diff(tl, tr) / bias_frac
     dy_vtc = _circular_diff(tl, bl) / bias_frac
 
-    w0 = bgr.level_w[0].astype(jnp.float32)
-    h0 = bgr.level_h[0].astype(jnp.float32)
+    w0 = float(bgr.level_w[0])
+    h0 = float(bgr.level_h[0])
     du_dx = dx_vtc[..., 0] * w0
     du_dy = dy_vtc[..., 0] * w0
     dv_dx = dx_vtc[..., 1] * h0
