@@ -414,10 +414,9 @@ def _prepass_cost(psteps: Array, cx: Array, cy: Array, W: int,
     ).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "settings"))
-def _init_rays_jit(metric: Metric, camera: cam.Camera, params,
-                   settings: RenderSettings, features: Features,
-                   cx: Array, cy: Array, kill: Array | None):
+def _init_rays(metric: Metric, camera: cam.Camera, params,
+               settings: RenderSettings, features: Features,
+               cx: Array, cy: Array, kill: Array | None):
     position, es = camera_frame(metric, camera, params)
     state, ku, iquat = rays_for_pixels(
         metric, camera, position, es, params, settings, features, cx, cy,
@@ -428,6 +427,11 @@ def _init_rays_jit(metric: Metric, camera: cam.Camera, params,
             status=jnp.where(kill, integrate.DEAD, state.status)
         )
     return state, ku, iquat
+
+
+_init_rays_jit = functools.partial(
+    jax.jit, static_argnames=("metric", "settings")
+)(_init_rays)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
@@ -469,6 +473,15 @@ def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
                                       features, cx, cy, kill)
     # Launch-time |v_t| (the blow-up kill baseline) must survive phasing.
     f_in_x = jnp.abs(state.velocity[:, 0])
+    state = _trace_phases(metric, state, params, settings, features, cost,
+                          f_in_x)
+    return _rdata_jit(metric, state, ku, params, settings, features, iquat)
+
+
+def _trace_phases(metric: Metric, state, params, settings: RenderSettings,
+                  features: Features, cost: Array | None, f_in_x: Array):
+    """Host-chained trace phases (one Pallas program each — see
+    :func:`_traced_rdata_for_pixels` for why they stay separate)."""
     opts = settings.trace
     planar = _planar_enabled(metric, settings)
     phases = tuple(opts.compaction) + (opts.max_steps,)
@@ -483,7 +496,7 @@ def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
         state = _trace_phase_jit(metric, state, params, psettings, features,
                                  cost, f_in_x)
         cost = None  # after phase 1 the survivors' own state is the signal
-    return _rdata_jit(metric, state, ku, params, settings, features, iquat)
+    return state
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
@@ -515,46 +528,87 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
     """Quarter-density trace + error-driven refinement + optional prepass.
 
     The reference's atomic variable-length refinement list (cl.cl:5294)
-    becomes a dense masked batch: all 3N/4 refinement rays exist, but rays in
-    blocks below the error threshold start DEAD and cost (almost) nothing in
-    the tiled Pallas march.
+    becomes a budgeted top-k block batch (``refine_budget``; 1.0 = every
+    block, masked).  The frame is exactly 4-6 XLA programs chained from the
+    host — prepass, quarter setup, quarter trace (Pallas), refine setup,
+    refine trace (Pallas), finish — because every un-jitted jnp glue op is
+    its own tiny program, and at ~50 ms of axon-tunnel issue latency each
+    the glue dominated the frame before fusion.
     """
-    import dataclasses as _dc
-
     W, H = settings.width, settings.height
     assert W % 2 == 0 and H % 2 == 0, "adaptive sampling needs even dims"
     Wh, Hh = W // 2, H // 2
+    nq = Wh * Hh
 
-    # --- quarter pass (even pixels) -------------------------------------
-    qyy, qxx = np.meshgrid(
-        2.0 * np.arange(Hh, dtype=np.float32),
-        2.0 * np.arange(Wh, dtype=np.float32),
-        indexing="ij",
-    )
-    qcx = jnp.asarray(qxx.reshape(-1))
-    qcy = jnp.asarray(qyy.reshape(-1))
-
-    kill = None
-    qcost = None
-    rcost = None
+    dead = psteps = None
     if metric.config.use_prepass:
         pw = max(W // settings.prepass_scale, 4)
         ph = max(H // settings.prepass_scale, 4)
-        psettings = _dc.replace(settings, width=pw, height=ph,
-                                adaptive_sampling=False)
+        psettings = dataclasses.replace(settings, width=pw, height=ph,
+                                        adaptive_sampling=False)
         dead, psteps = _prepass_dead_map(metric, camera, params, psettings,
                                          features)
+
+    state, ku, iquat, f_in_x, qcost = _quarter_setup_jit(
+        metric, camera, params, settings, features, dead, psteps)
+    state = _trace_phases(metric, state, params, settings, features, qcost,
+                          f_in_x)
+
+    if settings.refine_budget >= 1.0:
+        k = nq
+    else:
+        k = max(min(nq, 1024), (int(nq * settings.refine_budget) // 8) * 8)
+    (qr, should, dest, rstate, rku, riquat, rf_in_x,
+     rcost) = _refine_setup_jit(metric, camera, params, settings, features,
+                                state, ku, iquat, k)
+    rstate = _trace_phases(metric, rstate, params, settings, features, rcost,
+                           rf_in_x)
+    return _finish_jit(metric, rstate, rku, riquat, params, features, qr,
+                       should, dest, settings, k)
+
+
+def _qcoords(settings: RenderSettings):
+    """Flat pixel coordinates of the quarter (even) pixels."""
+    Wh, Hh = settings.width // 2, settings.height // 2
+    yy, xx = jnp.meshgrid(
+        2.0 * jnp.arange(Hh, dtype=jnp.float32),
+        2.0 * jnp.arange(Wh, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return xx.reshape(-1), yy.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "settings"))
+def _quarter_setup_jit(metric: Metric, camera: cam.Camera, params,
+                       settings: RenderSettings, features: Features,
+                       dead: Array | None, psteps: Array | None):
+    """Quarter-pass ray init fused with the prepass kill/cost probes."""
+    W, H = settings.width, settings.height
+    qcx, qcy = _qcoords(settings)
+    kill = qcost = None
+    if dead is not None:
         kill = _prepass_kill(dead, qcx, qcy, W, H)
         qcost = _prepass_cost(psteps, qcx, qcy, W, H)
+    state, ku, iquat = _init_rays(metric, camera, params, settings, features,
+                                  qcx, qcy, kill)
+    f_in_x = jnp.abs(state.velocity[:, 0])
+    return state, ku, iquat, f_in_x, qcost
 
-    qr = _traced_rdata_for_pixels(metric, camera, params, settings, features,
-                                  qcx, qcy, kill, qcost)
 
-    def grid(x):
-        return x.reshape((Hh, Wh) + x.shape[1:])
+_REFINE_OFFSETS = ((1, 0), (0, 1), (1, 1))
 
-    qg = RenderData(*(grid(f) for f in qr))
-    nq = Wh * Hh
+
+@functools.partial(jax.jit, static_argnames=("metric", "settings", "k"))
+def _refine_setup_jit(metric: Metric, camera: cam.Camera, params,
+                      settings: RenderSettings, features: Features,
+                      qstate, qku, qiquat, k: int):
+    """Quarter render-data + top-k block selection + refine-ray init, fused
+    into one program (handle_adaptive_sampling's decision half,
+    cl.cl:5240-5294)."""
+    Wh, Hh = settings.width // 2, settings.height // 2
+    qr = compute_render_data(metric, qstate, qku, params, features,
+                             inv_quat=qiquat)
+    qg = RenderData(*(f.reshape((Hh, Wh) + f.shape[1:]) for f in qr))
 
     # Cost estimate for tile sorting: the quarter pass measured the exact
     # step count two pixels away — a far better predictor than the 16x
@@ -566,45 +620,68 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
                     jnp.roll(qsteps, (-1, -1), axis=(0, 1))),
     ).astype(jnp.float32).reshape(-1)
 
-    offsets = ((1, 0), (0, 1), (1, 1))
-    if settings.refine_budget < 1.0:
-        # --- budgeted refinement: trace only the top-k error blocks -----
-        k = max(min(nq, 1024), (int(nq * settings.refine_budget) // 8) * 8)
-        should, sel, dest = _select_refine_blocks(qg, settings, k)
-        sflat = should.reshape(-1)[sel]
-        rcx = jnp.concatenate([qcx[sel] + ox for ox, oy in offsets])
-        rcy = jnp.concatenate([qcy[sel] + oy for ox, oy in offsets])
-        rkill = ~jnp.concatenate([sflat] * 3)
-        rcost = jnp.concatenate([qcost_exact[sel]] * 3)
-        rr = _traced_rdata_for_pixels(metric, camera, params, settings,
-                                      features, rcx, rcy, rkill, rcost)
+    should, sel, dest = _select_refine_blocks(qg, settings, k)
+    sflat = should.reshape(-1)[sel]
+    qcx, qcy = _qcoords(settings)
+    scx, scy = qcx[sel], qcy[sel]
+    rcx = jnp.concatenate([scx + ox for ox, oy in _REFINE_OFFSETS])
+    rcy = jnp.concatenate([scy + oy for ox, oy in _REFINE_OFFSETS])
+    rkill = ~jnp.concatenate([sflat] * 3)
+    rcost = jnp.concatenate([qcost_exact[sel]] * 3)
 
-        def unbudget(f, i):
-            part = f[i * k:(i + 1) * k]
-            filler = jnp.zeros((nq - k,) + part.shape[1:], part.dtype)
-            return grid(jnp.concatenate([part, filler])[dest])
+    rstate, rku, riquat = _init_rays(metric, camera, params, settings,
+                                     features, rcx, rcy, rkill)
+    rf_in_x = jnp.abs(rstate.velocity[:, 0])
+    return qr, should, dest, rstate, rku, riquat, rf_in_x, rcost
 
-        rparts = [RenderData(*(unbudget(f, i) for f in rr))
-                  for i in range(3)]
-        # Blocks over budget fall back to interpolation.
-        traced_ok = should & (dest < k).reshape(Hh, Wh)
-    else:
-        # --- dense refinement: every block's 3 rays exist, masked -------
-        should = _adaptive_should_sample(qg, settings)
-        rcx = jnp.concatenate([qcx + ox for ox, oy in offsets])
-        rcy = jnp.concatenate([qcy + oy for ox, oy in offsets])
-        rkill = ~jnp.concatenate([should.reshape(-1)] * 3)
-        rcost = jnp.concatenate([qcost_exact] * 3)
-        rr = _traced_rdata_for_pixels(metric, camera, params, settings,
-                                      features, rcx, rcy, rkill, rcost)
-        rparts = [
-            RenderData(*(grid(f[i * nq:(i + 1) * nq]) for f in rr))
-            for i in range(3)
-        ]
-        traced_ok = should
 
-    # --- assemble full image -------------------------------------------
-    return _adaptive_assemble(qg, rparts[0], rparts[1], rparts[2], traced_ok,
+@functools.partial(jax.jit, static_argnames=("metric", "settings", "k"))
+def _finish_jit(metric: Metric, rstate, rku, riquat, params,
+                features: Features, qr: RenderData, should: Array,
+                dest: Array, settings: RenderSettings, k: int) -> RenderData:
+    """Refine render-data + scatter-back + assembly, fused into one program.
+
+    The k traced blocks return to the (Hh, Wh) grid with ONE (nq, 8) gather:
+    all RenderData fields pack into f32 columns (statuses/steps are small
+    ints, exact in f32), so the per-field ``concat(part, filler)[dest]``
+    chain (21 gathers over nq rows) collapses to one gather per offset
+    part."""
+    Wh, Hh = settings.width // 2, settings.height // 2
+    nq = Wh * Hh
+    rr = compute_render_data(metric, rstate, rku, params, features,
+                             inv_quat=riquat)
+
+    packed = jnp.concatenate([
+        rr.tex_coord,                                   # 0, 1
+        rr.z_shift[:, None],                            # 2
+        rr.side.astype(jnp.float32)[:, None],           # 3
+        rr.terminated.astype(jnp.float32)[:, None],     # 4
+        rr.angles,                                      # 5, 6
+        rr.steps.astype(jnp.float32)[:, None],          # 7
+    ], axis=-1)                                         # (3k, 8)
+
+    ok = dest < k
+    destc = jnp.minimum(dest, k - 1)
+
+    def grid(x):
+        return x.reshape((Hh, Wh) + x.shape[1:])
+
+    def part(i):
+        g = packed[i * k:(i + 1) * k][destc]            # (nq, 8) one gather
+        g = jnp.where(ok[:, None], g, 0.0)
+        return RenderData(
+            tex_coord=grid(g[:, 0:2]),
+            z_shift=grid(g[:, 2]),
+            side=grid(g[:, 3].astype(jnp.int32)),
+            terminated=grid(g[:, 4].astype(jnp.int32)),
+            angles=grid(g[:, 5:7]),
+            steps=grid(g[:, 7].astype(jnp.int32)),
+        )
+
+    qg = RenderData(*(grid(f) for f in qr))
+    # Blocks over budget fall back to interpolation.
+    traced_ok = should & ok.reshape(Hh, Wh)
+    return _adaptive_assemble(qg, part(0), part(1), part(2), traced_ok,
                               settings)
 
 

@@ -49,6 +49,59 @@ def test_two_sided_background():
     np.testing.assert_allclose(far[0], [0, 0, 1], atol=1e-5)
 
 
+def test_pow2_and_mod_paths_agree():
+    """The pow2 shift/AND addressing fast path must sample identically to
+    the generic mod path (exercised via a non-pow2 atlas of the same
+    content upsampled -- here directly by comparing a pow2 background
+    against per-texel numpy wrap-bilinear)."""
+    rng = np.random.default_rng(3)
+    img = rng.random((32, 64, 3)).astype(np.float32)
+    b = bg.build_background(img)
+    assert b.pow2
+
+    uv = jnp.asarray(rng.random((37, 2)), dtype=jnp.float32)
+    side = jnp.ones((37,), jnp.int32)
+    got = np.asarray(bg.read_mipmap(b, side, uv, jnp.zeros(37),
+                                    trilinear=False))
+
+    # numpy reference: wrap bilinear on level 0
+    h, w = 32, 64
+    x = np.asarray(uv[:, 0]) * w - 0.5
+    y = np.asarray(uv[:, 1]) * h - 0.5
+    x0, y0 = np.floor(x).astype(int), np.floor(y).astype(int)
+    fx, fy = (x - x0)[:, None], (y - y0)[:, None]
+    c00 = img[y0 % h, x0 % w]
+    c01 = img[y0 % h, (x0 + 1) % w]
+    c10 = img[(y0 + 1) % h, x0 % w]
+    c11 = img[(y0 + 1) % h, (x0 + 1) % w]
+    want = (c00 * (1 - fx) + c01 * fx) * (1 - fy) \
+        + (c10 * (1 - fx) + c11 * fx) * fy
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_non_pow2_background_falls_back():
+    """Non-pow2 images take the mod addressing path and still wrap-sample
+    correctly at every level."""
+    rng = np.random.default_rng(4)
+    img = rng.random((48, 100, 3)).astype(np.float32)
+    b = bg.build_background(img)
+    assert not b.pow2
+
+    uv = jnp.asarray(rng.random((50, 2)) * 2.0 - 0.5, dtype=jnp.float32)
+    uv = jnp.mod(uv, 1.0)
+    side = jnp.ones((50,), jnp.int32)
+    for lod in (0.0, 1.0, 2.5):
+        out = np.asarray(bg.read_mipmap(b, side, uv,
+                                        jnp.full(50, lod)))
+        assert np.isfinite(out).all()
+        assert (out >= 0).all() and (out <= 1).all()
+    # level-0 exactness at a texel centre
+    got = np.asarray(bg.read_mipmap(
+        b, jnp.array([1]), jnp.array([[(7 + 0.5) / 100, (5 + 0.5) / 48]]),
+        jnp.array([0.0])))
+    np.testing.assert_allclose(got[0], img[5, 7], atol=1e-5)
+
+
 def test_ewa_uniform_field_invariant():
     """EWA over a constant-colour sky must return that colour regardless of
     the anisotropy of the mapping."""
