@@ -64,6 +64,10 @@ class RenderSettings:
     # sphere interpolation.  1.0 = trace every block densely (no budget).
     refine_budget: float = 0.375
     trilinear: bool = True  # mip blending; False = nearest level (cheaper)
+    # Bilinear-filter each EWA probe (reference behaviour, 4 gathers/probe).
+    # Default off: probes are gaussian-averaged anyway, and the shade stage
+    # is gather-bound on TPU — nearest-texel probes cost 1 gather.
+    probe_bilinear: bool = False
     # Constant-theta planar tracing for spherically symmetric metrics
     # (exact by symmetry; GENERIC_CONSTANT_THETA).
     planar: bool = True
@@ -815,7 +819,7 @@ def shade(rdata: RenderData, backgrounds: bg.Background,
 
     rgb = bg.sample_anisotropic(
         backgrounds, tex, side, max_probes=settings.anisotropy,
-        trilinear=settings.trilinear,
+        trilinear=settings.trilinear, probe_bilinear=settings.probe_bilinear,
     )
 
     if settings.redshift:

@@ -30,7 +30,7 @@ def test_mip_level0_matches_image():
     uv = jnp.array([[(20 + 0.5) / 128, (10 + 0.5) / 64]])
     side = jnp.array([0])
     out = np.asarray(bg.read_mipmap(b, side, uv, jnp.array([0.0])))
-    np.testing.assert_allclose(out[0], [1.0, 0.5, 0.25], atol=1e-5)
+    np.testing.assert_allclose(out[0], [1.0, 0.5, 0.25], atol=1e-3)  # rgb10 atlas quantisation
 
 
 def test_two_sided_background():
@@ -45,8 +45,8 @@ def test_two_sided_background():
     primary = np.asarray(bg.read_mipmap(b, jnp.array([1]), uv,
                                         jnp.array([0.0])))
     far = np.asarray(bg.read_mipmap(b, jnp.array([0]), uv, jnp.array([0.0])))
-    np.testing.assert_allclose(primary[0], [1, 0, 0], atol=1e-5)
-    np.testing.assert_allclose(far[0], [0, 0, 1], atol=1e-5)
+    np.testing.assert_allclose(primary[0], [1, 0, 0], atol=1e-3)
+    np.testing.assert_allclose(far[0], [0, 0, 1], atol=1e-3)
 
 
 def test_pow2_and_mod_paths_agree():
@@ -76,7 +76,7 @@ def test_pow2_and_mod_paths_agree():
     c11 = img[(y0 + 1) % h, (x0 + 1) % w]
     want = (c00 * (1 - fx) + c01 * fx) * (1 - fy) \
         + (c10 * (1 - fx) + c11 * fx) * fy
-    np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_allclose(got, want, atol=1e-3)  # rgb10 quantisation
 
 
 def test_non_pow2_background_falls_back():
@@ -99,7 +99,7 @@ def test_non_pow2_background_falls_back():
     got = np.asarray(bg.read_mipmap(
         b, jnp.array([1]), jnp.array([[(7 + 0.5) / 100, (5 + 0.5) / 48]]),
         jnp.array([0.0])))
-    np.testing.assert_allclose(got[0], img[5, 7], atol=1e-5)
+    np.testing.assert_allclose(got[0], img[5, 7], atol=1e-3)  # rgb10 atlas quantisation
 
 
 def test_ewa_uniform_field_invariant():
@@ -112,7 +112,7 @@ def test_ewa_uniform_field_invariant():
     tex = jnp.asarray(rng.random((H, W, 2)), dtype=jnp.float32)
     side = jnp.ones((H, W), jnp.int32)
     out = np.asarray(bg.sample_anisotropic(b, tex, side, max_probes=8))
-    np.testing.assert_allclose(out, 0.4, atol=1e-4)
+    np.testing.assert_allclose(out, 0.4, atol=1e-3)  # rgb10 atlas quantisation
 
 
 def test_redshift_extremes():
