@@ -92,6 +92,10 @@ class TraceOptions:
     remat_every: int = 128  # checkpoint window for method="scan"
     unroll: int = 1
     tile: int = 1024  # ray tile size for method="pallas"
+    # Pallas kernel: test the tile's any(active) exit condition every this
+    # many steps (cross-lane reduction; larger amortises it, at up to
+    # check_every-1 wasted masked steps per tile).
+    check_every: int = 8
     # Phase lengths for active-ray compaction between Pallas launches
     # (empty = single launch).  E.g. (256, 1024, 4096).
     compaction: tuple = ()

@@ -68,21 +68,17 @@ def _bucket_partition(dead: Array, cost: Array | None):
     return packing.bucket_sort_perm(bucket, n_buckets)
 
 
-def trace_rays_pallas(metric: Metric, state: RayState, params,
-                      features: Features = Features(),
-                      opts: TraceOptions = TraceOptions(),
-                      tile: int = DEFAULT_TILE,
-                      interpret: bool = False,
-                      sort_key: Array | None = None,
-                      f_in_x: Array | None = None) -> RayState:
-    """Pallas-tiled twin of :func:`integrate.trace_rays` (while method).
+def pack_tiles(state: RayState, tile: int,
+               sort_key: Array | None = None,
+               f_in_x: Array | None = None):
+    """Bucket-partition + tile-pack a RayState for the kernel.
 
-    Rays are packed per tile into full (8, tile/8) VPU registers — a flat
-    (tile,) vector would occupy one sublane in eight.
+    Pre-trace compaction: dead rays (prepass-killed, refinement-masked)
+    pack to the back so whole tiles of them exit after one iteration; live
+    rays sort by estimated cost so tiles are cost-uniform.
 
-    ``sort_key``: optional per-ray cost estimate (e.g. the prepass step
-    count).  A tile runs until its slowest ray finishes, so grouping rays of
-    similar cost makes tile_max track tile_mean instead of the global tail.
+    Returns ``(packed tuple, inv_perm, n)`` — ``packed`` is the kernel's
+    input operand tuple (pos, vel, acc, next_ds, rdl, status, steps, finx).
     """
     assert tile % SUBLANES == 0, "tile must be a multiple of 8"
     lanes = tile // SUBLANES
@@ -90,9 +86,6 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
     n_pad = -(-n // tile) * tile
     n_tiles = n_pad // tile
 
-    # Pre-trace compaction: dead rays (prepass-killed, refinement-masked)
-    # pack to the back so whole tiles of them exit after one iteration; live
-    # rays sort by estimated cost so tiles are cost-uniform.
     dead = state.status != integrate.ACTIVE
     perm, inv_perm = _bucket_partition(
         dead, None if sort_key is None else sort_key.astype(jnp.float32)
@@ -118,12 +111,43 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
         x = jnp.pad(x, ((0, n_pad - n),), constant_values=fill)
         return x.reshape(n_tiles, SUBLANES, lanes)
 
-    pos_p, vel_p, acc_p = pack_v(pos), pack_v(vel), pack_v(acc)
-    next_ds = pack_s(state.next_ds)
-    rdl = pack_s(state.running_dlambda_dnew, 1)
-    status = pack_s(state.status, integrate.DEAD)
-    steps = pack_s(state.steps)
-    finx = pack_s(f_in_x)
+    packed = (
+        pack_v(pos), pack_v(vel), pack_v(acc),
+        pack_s(state.next_ds), pack_s(state.running_dlambda_dnew, 1),
+        pack_s(state.status, integrate.DEAD), pack_s(state.steps),
+        pack_s(f_in_x),
+    )
+    return packed, inv_perm, n
+
+
+def unpack_tiles(outs, inv_perm: Array, n: int) -> RayState:
+    """Inverse of :func:`pack_tiles` over the kernel's output tuple."""
+    opos, ovel, oacc, ods, ordl, ostatus, osteps = outs
+    n_tiles, _, sub, lanes = opos.shape
+    n_pad = n_tiles * sub * lanes
+
+    def unpack_v(x):  # (n_tiles, 4, 8, lanes) -> (N, 4)
+        return x.transpose(1, 0, 2, 3).reshape(4, n_pad)[:, :n].T[inv_perm]
+
+    def unpack_s(x):
+        return x.reshape(n_pad)[:n][inv_perm]
+
+    return RayState(
+        position=unpack_v(opos),
+        velocity=unpack_v(ovel),
+        acceleration=unpack_v(oacc),
+        next_ds=unpack_s(ods),
+        running_dlambda_dnew=unpack_s(ordl),
+        status=unpack_s(ostatus),
+        steps=unpack_s(osteps),
+    )
+
+
+def launch(metric: Metric, packed, params, features: Features,
+           opts: TraceOptions, interpret: bool = False):
+    """The pallas_call itself over pre-packed tile operands."""
+    pos_p, vel_p, acc_p, next_ds, rdl, status, steps, finx = packed
+    n_tiles, _, _, lanes = pos_p.shape
 
     pkeys, pvec = _flatten_params(params)
     fvec = jnp.stack([jnp.asarray(v, dtype=jnp.float32) for v in features])
@@ -160,7 +184,7 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
         # The any(active) exit test is a cross-lane reduction; checking it
         # every CHECK_EVERY steps amortises its cost (terminated rays are
         # masked, so the overshoot steps are no-ops).
-        CHECK_EVERY = 8
+        CHECK_EVERY = opts.check_every
         n_outer = -(-opts.max_steps // CHECK_EVERY)
 
         def cond(carry):
@@ -190,7 +214,7 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
     def sshape(dtype):
         return jax.ShapeDtypeStruct((n_tiles, SUBLANES, lanes), dtype)
 
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -202,27 +226,30 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
         out_specs=(vspec(), vspec(), vspec(),
                    sspec(), sspec(), sspec(), sspec()),
         out_shape=(
-            vshape(pos.dtype), vshape(vel.dtype), vshape(acc.dtype),
+            vshape(pos_p.dtype), vshape(vel_p.dtype), vshape(acc_p.dtype),
             sshape(next_ds.dtype), sshape(rdl.dtype),
             sshape(status.dtype), sshape(steps.dtype),
         ),
         interpret=interpret,
     )(pvec, fvec, pos_p, vel_p, acc_p, next_ds, rdl, status, steps, finx)
 
-    opos, ovel, oacc, ods, ordl, ostatus, osteps = outs
 
-    def unpack_v(x):  # (n_tiles, 4, 8, lanes) -> (N, 4)
-        return x.transpose(1, 0, 2, 3).reshape(4, n_pad)[:, :n].T[inv_perm]
+def trace_rays_pallas(metric: Metric, state: RayState, params,
+                      features: Features = Features(),
+                      opts: TraceOptions = TraceOptions(),
+                      tile: int = DEFAULT_TILE,
+                      interpret: bool = False,
+                      sort_key: Array | None = None,
+                      f_in_x: Array | None = None) -> RayState:
+    """Pallas-tiled twin of :func:`integrate.trace_rays` (while method).
 
-    def unpack_s(x):
-        return x.reshape(n_pad)[:n][inv_perm]
+    Rays are packed per tile into full (8, tile/8) VPU registers — a flat
+    (tile,) vector would occupy one sublane in eight.
 
-    return RayState(
-        position=unpack_v(opos),
-        velocity=unpack_v(ovel),
-        acceleration=unpack_v(oacc),
-        next_ds=unpack_s(ods),
-        running_dlambda_dnew=unpack_s(ordl),
-        status=unpack_s(ostatus),
-        steps=unpack_s(osteps),
-    )
+    ``sort_key``: optional per-ray cost estimate (e.g. the prepass step
+    count).  A tile runs until its slowest ray finishes, so grouping rays of
+    similar cost makes tile_max track tile_mean instead of the global tail.
+    """
+    packed, inv_perm, n = pack_tiles(state, tile, sort_key, f_in_x)
+    outs = launch(metric, packed, params, features, opts, interpret=interpret)
+    return unpack_tiles(outs, inv_perm, n)
