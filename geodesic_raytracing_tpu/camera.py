@@ -55,6 +55,24 @@ def rot_quat(v: Array, q: Array) -> Array:
     return v + 2.0 * jnp.cross(u, jnp.cross(u, v) + w * v)
 
 
+def rot_quat_batched(v3: Array, q: Array) -> Array:
+    """Rotate a component-first (3, N) batch by one quaternion.
+
+    Same math as :func:`rot_quat`, written componentwise so rays stay on
+    the VPU lane axis — a per-ray ``vmap`` would put the 3-vectors on the
+    lane axis and idle 125/128 lanes."""
+    ux, uy, uz, w = q[0], q[1], q[2], q[3]
+    vx, vy, vz = v3[0], v3[1], v3[2]
+    c1x = uy * vz - uz * vy + w * vx
+    c1y = uz * vx - ux * vz + w * vy
+    c1z = ux * vy - uy * vx + w * vz
+    return jnp.stack([
+        vx + 2.0 * (uy * c1z - uz * c1y),
+        vy + 2.0 * (uz * c1x - ux * c1z),
+        vz + 2.0 * (ux * c1y - uy * c1x),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # Pixel directions
 # ---------------------------------------------------------------------------

@@ -90,56 +90,77 @@ def pack_tiles(state: RayState, tile: int,
     perm, inv_perm = _bucket_partition(
         dead, None if sort_key is None else sort_key.astype(jnp.float32)
     )
-    state = jax.tree.map(lambda x: x[perm], state)
 
-    pos = state.position.T
-    vel = state.velocity.T
-    acc = state.acceleration.T
     if f_in_x is None:
         # Blow-up kill baseline = launch-time |v_t| (cl.cl:3990).  Phased
         # callers must pass the original value, or re-seeding from the
         # current (already grown) v_t would defuse the kill test.
-        f_in_x = jnp.abs(vel[0])
-    else:
-        f_in_x = f_in_x[perm]
+        f_in_x = jnp.abs(state.velocity[:, 0])
 
-    def pack_v(x, fill=0.0):  # (4, N) -> (n_tiles, 4, 8, lanes)
-        x = jnp.pad(x, ((0, 0), (0, n_pad - n)), constant_values=fill)
-        return x.reshape(4, n_tiles, SUBLANES, lanes).transpose(1, 0, 2, 3)
+    # ONE (N, 16) row gather instead of seven per-array gathers: gathers
+    # cost per row fetched, and the permutation gather was half the pack
+    # cost.  status/steps ride as f32 (exact: small ints).
+    big = jnp.concatenate([
+        state.position, state.velocity, state.acceleration,          # 0..11
+        state.next_ds[:, None],                                      # 12
+        state.running_dlambda_dnew[:, None],                         # 13
+        state.status.astype(jnp.float32)[:, None],                   # 14
+        state.steps.astype(jnp.float32)[:, None],                    # 15
+        f_in_x[:, None],                                             # 16
+    ], axis=1)[perm]
 
-    def pack_s(x, fill=0):  # (N,) -> (n_tiles, 8, lanes)
-        x = jnp.pad(x, ((0, n_pad - n),), constant_values=fill)
-        return x.reshape(n_tiles, SUBLANES, lanes)
+    fills = jnp.zeros((17,), big.dtype)
+    fills = fills.at[13].set(1.0).at[14].set(float(integrate.DEAD))
+    big = jnp.concatenate([
+        big, jnp.broadcast_to(fills, (n_pad - n, 17))
+    ], axis=0)
+    cols = big.T  # (17, n_pad) component-first
+
+    def pack_v(sl):  # rows -> (n_tiles, 4, 8, lanes)
+        return cols[sl].reshape(4, n_tiles, SUBLANES,
+                                lanes).transpose(1, 0, 2, 3)
+
+    def pack_s(row, dtype=None):  # row -> (n_tiles, 8, lanes)
+        x = cols[row].reshape(n_tiles, SUBLANES, lanes)
+        return x if dtype is None else x.astype(dtype)
 
     packed = (
-        pack_v(pos), pack_v(vel), pack_v(acc),
-        pack_s(state.next_ds), pack_s(state.running_dlambda_dnew, 1),
-        pack_s(state.status, integrate.DEAD), pack_s(state.steps),
-        pack_s(f_in_x),
+        pack_v(slice(0, 4)), pack_v(slice(4, 8)), pack_v(slice(8, 12)),
+        pack_s(12), pack_s(13),
+        pack_s(14, jnp.int32), pack_s(15, jnp.int32),
+        pack_s(16),
     )
     return packed, inv_perm, n
 
 
 def unpack_tiles(outs, inv_perm: Array, n: int) -> RayState:
-    """Inverse of :func:`pack_tiles` over the kernel's output tuple."""
+    """Inverse of :func:`pack_tiles` over the kernel's output tuple —
+    a single (N, 16) row gather, like the pack side."""
     opos, ovel, oacc, ods, ordl, ostatus, osteps = outs
     n_tiles, _, sub, lanes = opos.shape
     n_pad = n_tiles * sub * lanes
 
-    def unpack_v(x):  # (n_tiles, 4, 8, lanes) -> (N, 4)
-        return x.transpose(1, 0, 2, 3).reshape(4, n_pad)[:, :n].T[inv_perm]
+    def flat_v(x):  # (n_tiles, 4, 8, lanes) -> (n_pad, 4)
+        return x.transpose(1, 0, 2, 3).reshape(4, n_pad).T
 
-    def unpack_s(x):
-        return x.reshape(n_pad)[:n][inv_perm]
+    def flat_s(x):
+        return x.reshape(n_pad, 1)
+
+    big = jnp.concatenate([
+        flat_v(opos), flat_v(ovel), flat_v(oacc),
+        flat_s(ods), flat_s(ordl),
+        flat_s(ostatus.astype(jnp.float32)),
+        flat_s(osteps.astype(jnp.float32)),
+    ], axis=1)[:n][inv_perm]
 
     return RayState(
-        position=unpack_v(opos),
-        velocity=unpack_v(ovel),
-        acceleration=unpack_v(oacc),
-        next_ds=unpack_s(ods),
-        running_dlambda_dnew=unpack_s(ordl),
-        status=unpack_s(ostatus),
-        steps=unpack_s(osteps),
+        position=big[:, 0:4],
+        velocity=big[:, 4:8],
+        acceleration=big[:, 8:12],
+        next_ds=big[:, 12],
+        running_dlambda_dnew=big[:, 13],
+        status=big[:, 14].astype(jnp.int32),
+        steps=big[:, 15].astype(jnp.int32),
     )
 
 

@@ -121,19 +121,18 @@ def rays_for_pixels(metric: Metric, camera: cam.Camera, position, es, params,
     W, H = settings.width, settings.height
     fov_rad = settings.fov_degrees * jnp.pi / 180.0
     f_stop = (W / 2) / jnp.tan(fov_rad / 2)
-    d = jnp.stack(
-        [cx - W / 2.0, cy - H / 2.0,
-         jnp.broadcast_to(jnp.asarray(f_stop, jnp.float32), cx.shape)],
-        axis=-1,
-    )
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    dirs = jax.vmap(lambda v: cam.rot_quat(v, camera.quat))(d)
+    dx = cx - W / 2.0
+    dy = cy - H / 2.0
+    dz = jnp.broadcast_to(jnp.asarray(f_stop, jnp.float32), cx.shape)
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dirs = cam.rot_quat_batched(jnp.stack([dx * inv, dy * inv, dz * inv]),
+                                camera.quat)  # (3, N) component-first
 
     sign = _trace_sign(metric, settings)
     velocity = (
-        dirs[:, 0:1] * es[1][None, :]
-        + dirs[:, 1:2] * es[2][None, :]
-        + dirs[:, 2:3] * es[3][None, :]
+        dirs[0][:, None] * es[1][None, :]
+        + dirs[1][:, None] * es[2][None, :]
+        + dirs[2][:, None] * es[3][None, :]
         + sign * es[0][None, :]
     )
     n = velocity.shape[0]

@@ -1,12 +1,9 @@
-"""Sync-isolated per-stage timings + tile-divergence diagnostics for the
-adaptive 1080p Kerr frame (the bench.py configuration).
+"""Sync-isolated timings of the PRODUCTION XLA programs making up the
+adaptive 1080p Kerr frame (the bench.py configuration), plus tile-divergence
+diagnostics for the two trace launches.
 
 Usage:
     python scripts/stage_bench.py [--cpu] [--frames N]
-
-Prints one line per stage (median of N frames) and a divergence table:
-executed tile-iterations vs committed steps for the quarter and refine
-traces under the production bucket packing.
 """
 
 from __future__ import annotations
@@ -45,7 +42,6 @@ def main() -> int:
 
     from geodesic_raytracing_tpu import metrics
     from geodesic_raytracing_tpu.camera import Camera
-    from geodesic_raytracing_tpu.ops import integrate
     from geodesic_raytracing_tpu.ops.integrate import Features, TraceOptions
     from geodesic_raytracing_tpu.render import background as bg
     from geodesic_raytracing_tpu.render import pipeline as pl
@@ -61,65 +57,56 @@ def main() -> int:
         trace=TraceOptions(max_steps=16384, method="pallas", tile=2048),
     )
     features = Features.for_metric(metric)
-
     Wh, Hh = W // 2, H // 2
-    qyy, qxx = np.meshgrid(
-        2.0 * np.arange(Hh, dtype=np.float32),
-        2.0 * np.arange(Wh, dtype=np.float32), indexing="ij",
-    )
-    qcx = jnp.asarray(qxx.reshape(-1))
-    qcy = jnp.asarray(qyy.reshape(-1))
+    nq = Wh * Hh
+
+    # ----- the exact production program chain ----------------------------
+    pw = max(W // settings.prepass_scale, 4)
+    ph = max(H // settings.prepass_scale, 4)
+    psettings = dataclasses.replace(settings, width=pw, height=ph,
+                                    adaptive_sampling=False)
 
     def stage_prepass():
-        pw = max(W // settings.prepass_scale, 4)
-        ph = max(H // settings.prepass_scale, 4)
-        ps = dataclasses.replace(settings, width=pw, height=ph,
-                                 adaptive_sampling=False)
-        return pl._prepass_dead_map(metric, camera, params, ps, features)
+        return pl._prepass_dead_map(metric, camera, params, psettings,
+                                    features)
 
     dead, psteps = stage_prepass()
-    kill = pl._prepass_kill(dead, qcx, qcy, W, H)
-    qcost = pl._prepass_cost(psteps, qcx, qcy, W, H)
 
-    def stage_quarter():
-        return pl._traced_rdata_for_pixels(
-            metric, camera, params, settings, features, qcx, qcy, kill, qcost)
+    def stage_qsetup():
+        return pl._quarter_setup_jit(metric, camera, params, settings,
+                                     features, dead, psteps)
 
-    qr = stage_quarter()
-    qg = pl.RenderData(*(f.reshape((Hh, Wh) + f.shape[1:]) for f in qr))
-    should = pl._adaptive_should_sample(qg, settings)
+    qstate0, ku, iquat, f_in_x, qcost = stage_qsetup()
 
-    offsets = ((1, 0), (0, 1), (1, 1))
-    rcx = jnp.concatenate([qcx + ox for ox, oy in offsets])
-    rcy = jnp.concatenate([qcy + oy for ox, oy in offsets])
-    rkill = ~jnp.concatenate([should.reshape(-1)] * 3)
-    qsteps = qg.steps
-    qce = jnp.maximum(
-        jnp.maximum(qsteps, jnp.roll(qsteps, -1, axis=1)),
-        jnp.maximum(jnp.roll(qsteps, -1, axis=0),
-                    jnp.roll(qsteps, (-1, -1), axis=(0, 1))),
-    ).astype(jnp.float32).reshape(-1)
-    rcost = jnp.concatenate([qce] * 3)
+    def stage_qtrace():
+        return pl._trace_phases(metric, qstate0, params, settings, features,
+                                qcost, f_in_x)
 
-    def stage_refine():
-        return pl._traced_rdata_for_pixels(
-            metric, camera, params, settings, features, rcx, rcy, rkill,
-            rcost)
+    qstate = stage_qtrace()
 
-    rr = stage_refine()
-    nq = Wh * Hh
-    rparts = [
-        pl.RenderData(*(f[i * nq:(i + 1) * nq].reshape((Hh, Wh) +
-                                                       f.shape[1:])
-                        for f in rr))
-        for i in range(3)
-    ]
+    if settings.refine_budget >= 1.0:
+        k = nq
+    else:
+        k = max(min(nq, 1024), (int(nq * settings.refine_budget) // 8) * 8)
 
-    def stage_assemble():
-        return pl._adaptive_assemble(qg, rparts[0], rparts[1], rparts[2],
-                                     should, settings)
+    def stage_rsetup():
+        return pl._refine_setup_jit(metric, camera, params, settings,
+                                    features, qstate, ku, iquat, k)
 
-    rdata = stage_assemble()
+    (qr, should, dest, rstate0, rku, riquat, rf_in_x,
+     rcost) = stage_rsetup()
+
+    def stage_rtrace():
+        return pl._trace_phases(metric, rstate0, params, settings, features,
+                                rcost, rf_in_x)
+
+    rstate = stage_rtrace()
+
+    def stage_finish():
+        return pl._finish_jit(metric, rstate, rku, riquat, params, features,
+                              qr, should, dest, settings, k)
+
+    rdata = stage_finish()
 
     def stage_shade():
         return pl._shade_jit(rdata, backgrounds, settings)
@@ -129,11 +116,14 @@ def main() -> int:
 
     stages = {
         "prepass": stage_prepass,
-        "quarter": stage_quarter,
-        "refine": stage_refine,
-        "assemble": stage_assemble,
+        "qsetup": stage_qsetup,
+        "qtrace": stage_qtrace,
+        "rsetup": stage_rsetup,
+        "rtrace": stage_rtrace,
+        "finish": stage_finish,
         "shade": stage_shade,
     }
+    total = 0.0
     for name, fn in stages.items():
         ts = []
         for _ in range(args.frames):
@@ -141,11 +131,15 @@ def main() -> int:
             t0 = time.perf_counter()
             sync(fn())
             ts.append(time.perf_counter() - t0)
-        print(f"{name:10s} {float(np.median(ts)):7.3f} s")
+        t = float(np.median(ts))
+        total += t
+        print(f"{name:10s} {t:7.3f} s")
+    print(f"{'TOTAL':10s} {total:7.3f} s  "
+          f"({W * H / total / 1e6:.2f} Mrays/s sync-isolated)")
 
     # ----- divergence diagnostics ---------------------------------------
     # Reproduce the production packing for each trace stage and compare
-    # executed tile-iterations (tile max, rounded up to CHECK_EVERY) with
+    # executed tile-iterations (tile max, rounded up to check_every) with
     # committed steps.
     from geodesic_raytracing_tpu.ops.pallas import raymarch
 
@@ -159,22 +153,17 @@ def main() -> int:
         s = np.pad(s, (0, n_pad - s.size))
         tiles = s.reshape(-1, tile)
         per_tile_max = tiles.max(axis=1)
-        executed = (np.ceil(per_tile_max / 8) * 8 * tile).sum()
+        ce = settings.trace.check_every
+        executed = (np.ceil(per_tile_max / ce) * ce * tile).sum()
         committed = steps.sum()
         print(f"{tag:10s} committed {committed/1e6:8.1f} Msteps   "
               f"executed {executed/1e6:8.1f}   waste x"
               f"{executed/max(committed,1):.2f}")
-        # Per-tile occupancy histogram of the 10 worst tiles
-        occ = tiles.mean(axis=1) / np.maximum(per_tile_max, 1)
-        worst = np.argsort(occ)[:10]
-        print(f"           tile occupancy mean {occ.mean():.3f}  "
-              f"p10 {np.percentile(occ, 10):.3f}  "
-              f"worst tiles max={per_tile_max[worst][:5]}")
 
-    qdead = np.asarray(kill) if kill is not None else np.zeros(nq, bool)
-    divergence("quarter", qr.steps, qdead, np.asarray(qcost), 2048)
-    divergence("refine", rr.steps, np.asarray(rkill), np.asarray(rcost),
-               2048)
+    divergence("quarter", qstate.steps, np.asarray(qstate0.status != 0),
+               np.asarray(qcost), settings.trace.tile)
+    divergence("refine", rstate.steps, np.asarray(rstate0.status != 0),
+               np.asarray(rcost), settings.trace.tile)
     return 0
 
 
