@@ -376,45 +376,61 @@ def _interp_rdata(c: RenderData, o: RenderData) -> RenderData:
     )
 
 
-@jax.jit
-def _prepass_kill(dead: Array, cx: Array, cy: Array, W: int, H: int) -> Array:
-    """Full-res kill mask from the low-res prepass dead map: a ray skips
+def _shift2d(x: Array, dy: int, dx: int, fill):
+    """2D shift with edge fill (pad + slice; no gathers)."""
+    ph, pw = x.shape
+    x = jnp.pad(x, ((1, 1), (1, 1)), constant_values=fill)
+    return x[1 + dy:1 + dy + ph, 1 + dx:1 + dx + pw]
+
+
+def _upsample_round(small: Array, cx_count: int, cy_count: int,
+                    step: float, W: int, H: int) -> Array:
+    """Evaluate ``small[round(cy*ph/H), round(cx*pw/W)]`` for the regular
+    pixel grids ``cx = step*ix``, ``cy = step*iy`` WITHOUT per-ray gathers:
+    the index map is a monotone nearest-neighbour upsample, so it is a
+    static jnp.repeat + phase slice (the per-ray table gathers this
+    replaces were half the ray-setup stage)."""
+    ph, pw = small.shape
+
+    def axis_index(n_out, n_small, extent):
+        # round(step*i*n_small/extent) for i in [0, n_out)
+        idx = np.round(np.arange(n_out) * step * n_small / extent)
+        return np.clip(idx, 0, n_small - 1).astype(np.int32)
+
+    ix = axis_index(cx_count, pw, W)
+    iy = axis_index(cy_count, ph, H)
+    # Static monotone indices: XLA lowers repeat/concat of slices, but the
+    # cleanest exact form is take with a constant index vector per axis —
+    # constant-index takes on one axis compile to slices+concats, not
+    # dynamic gathers.
+    rows = jnp.repeat(small, np.bincount(iy, minlength=ph), axis=0,
+                      total_repeat_length=cy_count)
+    return jnp.repeat(rows, np.bincount(ix, minlength=pw), axis=1,
+                      total_repeat_length=cx_count)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "H", "qw", "qh"))
+def _prepass_kill(dead: Array, W: int, H: int, qw: int, qh: int) -> Array:
+    """Quarter-grid kill mask from the low-res prepass dead map: a ray skips
     tracing when its prepass cell and 4 neighbours all terminate black
-    (should_early_terminate x5, cl.cl:3213-3232)."""
-    ph, pw = dead.shape
-    lx = jnp.round(cx / W * pw).astype(jnp.int32)
-    ly = jnp.round(cy / H * ph).astype(jnp.int32)
-
-    def probe(dx, dy):
-        xx = jnp.clip(lx + dx, 0, pw - 1)
-        yy = jnp.clip(ly + dy, 0, ph - 1)
-        inb = ((lx + dx >= 0) & (lx + dx <= pw - 1)
-               & (ly + dy >= 0) & (ly + dy <= ph - 1))
-        return jnp.where(inb, dead[yy, xx], False)
-
-    return (probe(-1, 0) & probe(0, 0) & probe(1, 0) & probe(0, -1)
-            & probe(0, 1))
+    (should_early_terminate x5, cl.cl:3213-3232).  Neighbour logic runs on
+    the small map (shifts), then nearest-upsamples to the quarter grid."""
+    d5 = (_shift2d(dead, 0, -1, False) & dead & _shift2d(dead, 0, 1, False)
+          & _shift2d(dead, -1, 0, False) & _shift2d(dead, 1, 0, False))
+    return _upsample_round(d5, qw, qh, 2.0, W, H).reshape(-1)
 
 
-@jax.jit
-def _prepass_cost(psteps: Array, cx: Array, cy: Array, W: int,
-                  H: int) -> Array:
+@functools.partial(jax.jit, static_argnames=("W", "H", "qw", "qh"))
+def _prepass_cost(psteps: Array, W: int, H: int, qw: int, qh: int) -> Array:
     """Per-ray cost estimate from the prepass step counts: the max over the
     ray's prepass cell and neighbours (tiles sort by this so their iteration
     bound tracks their mean instead of the frame-wide tail)."""
-    ph, pw = psteps.shape
-    lx = jnp.round(cx / W * pw).astype(jnp.int32)
-    ly = jnp.round(cy / H * ph).astype(jnp.int32)
-
-    def probe(dx, dy):
-        xx = jnp.clip(lx + dx, 0, pw - 1)
-        yy = jnp.clip(ly + dy, 0, ph - 1)
-        return psteps[yy, xx]
-
-    return jnp.maximum(
-        jnp.maximum(jnp.maximum(probe(0, 0), probe(1, 0)), probe(-1, 0)),
-        jnp.maximum(probe(0, 1), probe(0, -1)),
-    ).astype(jnp.float32)
+    m = jnp.maximum
+    s5 = m(m(m(_shift2d(psteps, 0, -1, 0), psteps),
+             m(_shift2d(psteps, 0, 1, 0), _shift2d(psteps, -1, 0, 0))),
+           _shift2d(psteps, 1, 0, 0))
+    return _upsample_round(s5, qw, qh, 2.0, W, H).astype(
+        jnp.float32).reshape(-1)
 
 
 def _init_rays(metric: Metric, camera: cam.Camera, params,
@@ -590,8 +606,8 @@ def _quarter_setup_jit(metric: Metric, camera: cam.Camera, params,
     qcx, qcy = _qcoords(settings)
     kill = qcost = None
     if dead is not None:
-        kill = _prepass_kill(dead, qcx, qcy, W, H)
-        qcost = _prepass_cost(psteps, qcx, qcy, W, H)
+        kill = _prepass_kill(dead, W, H, W // 2, H // 2)
+        qcost = _prepass_cost(psteps, W, H, W // 2, H // 2)
     state, ku, iquat = _init_rays(metric, camera, params, settings, features,
                                   qcx, qcy, kill)
     f_in_x = jnp.abs(state.velocity[:, 0])
@@ -669,9 +685,15 @@ def _finish_jit(metric: Metric, rstate, rku, riquat, params,
     def grid(x):
         return x.reshape((Hh, Wh) + x.shape[1:])
 
+    # All three offset parts share destc — gather them as ONE (nq, 24) row
+    # gather instead of three (nq, 8) ones (gathers cost per row).
+    wide = jnp.concatenate(
+        [packed[0:k], packed[k:2 * k], packed[2 * k:3 * k]], axis=1
+    )[destc]
+    wide = jnp.where(ok[:, None], wide, 0.0)
+
     def part(i):
-        g = packed[i * k:(i + 1) * k][destc]            # (nq, 8) one gather
-        g = jnp.where(ok[:, None], g, 0.0)
+        g = wide[:, i * 8:(i + 1) * 8]
         return RenderData(
             tex_coord=grid(g[:, 0:2]),
             z_shift=grid(g[:, 2]),
