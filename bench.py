@@ -54,11 +54,11 @@ def main() -> int:
                            features)
         if fetch:
             return np.asarray(img)
-        # Force the computation with a scalar readback.  The reference's
-        # frame loop never reads the image back either (it stays a GL
-        # texture; no_gpu_reads graphics_settings.hpp:36) — and the axon
-        # tunnel would otherwise bill ~1 s/frame of transfer at 1080p.
-        return float(jnp.sum(img[::256, ::256]))
+        # Force the computation with a scalar readback (deferred: the caller
+        # floats it).  The reference's frame loop never reads the image back
+        # either (it stays a GL texture; no_gpu_reads graphics_settings.hpp:36)
+        # — and the axon tunnel would otherwise bill ~1 s/frame of transfer.
+        return jnp.sum(img[::256, ::256])
 
     try:
         arr = frame(fetch=True)  # compile + first run + sanity fetch
@@ -73,13 +73,17 @@ def main() -> int:
 
     assert np.isfinite(arr).all(), "non-finite pixels in bench frame"
 
-    times = []
-    for _ in range(frames):
-        t0 = time.perf_counter()
-        frame()
-        times.append(time.perf_counter() - t0)
-
-    dt = float(np.median(times))
+    # Pipelined throughput: issue every frame's programs, then drain.  The
+    # reference overlaps frames the same way (double-buffered render_state,
+    # main.cpp:1463-1510); dispatch is async so a per-frame sync would only
+    # measure tunnel latency on top of device time.
+    float(frame())  # steady-state warmup, drained
+    n = max(frames, 4)
+    t0 = time.perf_counter()
+    sums = [frame() for _ in range(n)]
+    for s in sums:
+        float(s)
+    dt = (time.perf_counter() - t0) / n
     mrays = W * H / dt / 1e6
     print(json.dumps({
         "metric": "kerr_1080p_rays_per_s",

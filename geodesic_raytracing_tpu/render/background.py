@@ -403,14 +403,28 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     order, _ = packing.bucket_sort_perm(max_probes - ip_f, max_probes)
     order = order[:k]
 
-    texf = flat(tex)[order]
-    sidef = flat(side)[order]
-    lodf = flat(lod)[order]
-    duf, dvf = flat(du)[order], flat(dv)[order]
-    sUf, sVf = flat(sU)[order], flat(sV)[order]
-    majorf = flat(major)[order]
-    startf = flat(start_n)[order]
-    ipf = ip_f[order]
+    # ONE (k, 11) row gather instead of ten skinny per-field gathers:
+    # gathers cost per row fetched, and the per-field permutation gathers
+    # were a third of the shade stage.  side/start_n/i_probes are small
+    # ints — exact as f32.
+    fields = jnp.concatenate([
+        flat(tex),                                     # 0, 1
+        flat(side).astype(jnp.float32)[:, None],       # 2
+        flat(lod)[:, None],                            # 3
+        flat(du)[:, None], flat(dv)[:, None],          # 4, 5
+        flat(sU)[:, None], flat(sV)[:, None],          # 6, 7
+        flat(major)[:, None],                          # 8
+        flat(start_n).astype(jnp.float32)[:, None],    # 9
+        flat(i_probes).astype(jnp.float32)[:, None],   # 10
+    ], axis=-1)[order]
+    texf = fields[:, 0:2]
+    sidef = fields[:, 2].astype(jnp.int32)
+    lodf = fields[:, 3]
+    duf, dvf = fields[:, 4], fields[:, 5]
+    sUf, sVf = fields[:, 6], fields[:, 7]
+    majorf = fields[:, 8]
+    startf = fields[:, 9].astype(jnp.int32)
+    ipf = fields[:, 10].astype(jnp.int32)
 
     total = jnp.zeros((k, 3), dtype=jnp.float32)
     weight = jnp.zeros((k,), dtype=jnp.float32)
