@@ -28,7 +28,7 @@ MIP_LEVELS = 10  # reference uses 10 (graphics_settings.cpp:165)
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("packed",),
+    data_fields=("packed", "quad"),
     meta_fields=("level_w", "level_h", "level_x"),
 )
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +43,14 @@ class Background:
     gathers/s on v5e vs ~34M/s for (3,)-row gathers), and 10-bit linear
     matches the reference's 8-bit sRGB CL images for quality.
 
+    ``quad``: (2 * H * 2W, 4) uint32 — for every atlas texel, its 2x2
+    wrap-correct neighbourhood [c00, c01, c10, c11] as four consecutive
+    words.  A bilinear tap is then ONE (4,)-row gather instead of four
+    single-word gathers: TPU gathers cost per row fetched (~34M (3,)-row
+    vs ~50M single-word gathers/s measured), so the 4x memory buys ~3x on
+    the gather-bound shade stage.  Wrap is baked per mip level at build
+    time, which also makes the u = 1 equirect seam exact.
+
     ``level_w, level_h, level_x``: per-level sizes and x offsets — STATIC
     tuples of Python ints (pytree aux data), so level geometry is baked into
     the compiled program: the per-pixel level->size mapping lowers to shifts
@@ -54,6 +62,7 @@ class Background:
     """
 
     packed: Array
+    quad: Array
     level_w: tuple
     level_h: tuple
     level_x: tuple
@@ -108,8 +117,21 @@ def build_background(image: np.ndarray, image2: np.ndarray | None = None,
     q = (np.clip(atlas, 0.0, 1.0) * 1023.0 + 0.5).astype(np.uint32)
     packed = (q[..., 0] << 20) | (q[..., 1] << 10) | q[..., 2]
 
+    # Per-texel 2x2 neighbourhoods with per-level wrap (see Background.quad).
+    quad = np.zeros(packed.shape + (4,), dtype=np.uint32)
+    for l in range(len(lw)):
+        w, h, xo = int(lw[l]), int(lh[l]), int(lx[l])
+        blk = packed[:, :h, xo:xo + w]
+        right = np.roll(blk, -1, axis=2)
+        down = np.roll(blk, -1, axis=1)
+        quad[:, :h, xo:xo + w, 0] = blk
+        quad[:, :h, xo:xo + w, 1] = right
+        quad[:, :h, xo:xo + w, 2] = down
+        quad[:, :h, xo:xo + w, 3] = np.roll(right, -1, axis=1)
+
     return Background(
         packed=jnp.asarray(packed.reshape(-1)),
+        quad=jnp.asarray(quad.reshape(-1, 4)),
         level_w=tuple(int(v) for v in lw),
         level_h=tuple(int(v) for v in lh),
         level_x=tuple(int(v) for v in lx),
@@ -224,22 +246,18 @@ def _bilinear_level(bgr: Background, side: Array, uv: Array, level: Array) -> Ar
         # negative -1 row from the -0.5 texel shift as well) — integer mod
         # by a traced divisor has no VPU hardware and dominates the stage.
         x0 = xi.astype(jnp.int32) & (wi - 1)
-        x1 = (x0 + 1) & (wi - 1)
         y0 = yi.astype(jnp.int32) & (hi - 1)
-        y1 = (y0 + 1) & (hi - 1)
     else:
         x0 = jnp.mod(xi.astype(jnp.int32), wi)
-        x1 = jnp.mod(x0 + 1, wi)
         y0 = jnp.mod(yi.astype(jnp.int32), hi)
-        y1 = jnp.mod(y0 + 1, hi)
 
-    def gather(yy, xx):
-        return _decode_rgb10(bgr.packed[_texel_index(bgr, side, yy, xoff + xx)])
-
-    c00 = gather(y0, x0)
-    c01 = gather(y0, x1)
-    c10 = gather(y1, x0)
-    c11 = gather(y1, x1)
+    # ONE (4,)-row gather per tap: the quad atlas stores each texel's
+    # wrap-correct 2x2 neighbourhood as four consecutive words.
+    q = bgr.quad[_texel_index(bgr, side, y0, xoff + x0)]
+    c00 = _decode_rgb10(q[..., 0])
+    c01 = _decode_rgb10(q[..., 1])
+    c10 = _decode_rgb10(q[..., 2])
+    c11 = _decode_rgb10(q[..., 3])
     top = c00 * (1 - fx) + c01 * fx
     bot = c10 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy

@@ -1,11 +1,12 @@
-"""Microbench of EWA shade variants at 1080p (the dominant frame stage).
+"""Microbench of EWA shade variants at 1080p (a dominant frame stage).
 
 Variants:
-  prod        production sample_anisotropic (bilinear base + bilinear probes)
+  prod        production sample_anisotropic (quad-gather bilinear base +
+              nearest-texel probes)
   base        centre sample only (max_probes=1) — the floor
-  point       bilinear base + nearest-texel probes (1 gather/probe instead of 4)
-  flat        production addressing but planar 1-D channel gathers
-  bf16        production with a bfloat16 atlas (half the gather bytes)
+  quad_bilin  bilinear tap via ONE (4,)-row gather of the quad atlas
+  four_singles bilinear tap via FOUR single-word gathers (the old scheme)
+  point       nearest-texel tap, one single-word gather
 
 Usage: python scripts/shade_bench.py [--cpu] [--frames N]
 """
@@ -37,7 +38,6 @@ def main() -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    import dataclasses
     import functools
 
     import jax.numpy as jnp
@@ -56,111 +56,53 @@ def main() -> int:
     tex = np.stack([np.mod(xx * warp, 1.0), np.mod(yy * warp, 1.0)], axis=-1)
     tex = jnp.asarray(tex)
     side = jnp.ones((H, W), jnp.int32)
+    uv = tex.reshape(-1, 2)
+    sidef = side.reshape(-1)
+    lvl = jnp.zeros((H * W,), jnp.int32)
 
-    MAXP = 4
-
-    @functools.partial(jax.jit, static_argnames=("mp", "tri"))
-    def prod(tex, side, mp=MAXP, tri=False):
+    @functools.partial(jax.jit, static_argnames=("mp",))
+    def prod(tex, side, mp=4):
         return bg.sample_anisotropic(backgrounds, tex, side, max_probes=mp,
-                                     trilinear=tri)
+                                     trilinear=False)
+
+    @jax.jit
+    def quad_bilin(uv, sidef, lvl):
+        return bg._bilinear_level(backgrounds, sidef, uv, lvl)
+
+    @jax.jit
+    def four_singles(uv, sidef, lvl):
+        b = backgrounds
+        wi = jnp.int32(b.level_w[0])
+        hi = jnp.int32(b.level_h[0])
+        x0f = uv[:, 0] * wi.astype(jnp.float32) - 0.5
+        y0f = uv[:, 1] * hi.astype(jnp.float32) - 0.5
+        xi, yi = jnp.floor(x0f), jnp.floor(y0f)
+        fx, fy = (x0f - xi)[:, None], (y0f - yi)[:, None]
+        x0 = xi.astype(jnp.int32) & (wi - 1)
+        x1 = (x0 + 1) & (wi - 1)
+        y0 = yi.astype(jnp.int32) & (hi - 1)
+        y1 = (y0 + 1) & (hi - 1)
+
+        def g(yy2, xx2):
+            return bg._decode_rgb10(
+                b.packed[bg._texel_index(b, sidef, yy2, xx2)])
+
+        c00, c01, c10, c11 = g(y0, x0), g(y0, x1), g(y1, x0), g(y1, x1)
+        top = c00 * (1 - fx) + c01 * fx
+        bot = c10 * (1 - fx) + c11 * fx
+        return top * (1 - fy) + bot * fy
+
+    @jax.jit
+    def point(uv, sidef, lvl):
+        return bg._point_level(backgrounds, sidef, uv, lvl)
 
     variants = {
         "prod": lambda: prod(tex, side),
         "base": lambda: prod(tex, side, mp=1),
+        "quad_bilin": lambda: quad_bilin(uv, sidef, lvl),
+        "four_singles": lambda: four_singles(uv, sidef, lvl),
+        "point": lambda: point(uv, sidef, lvl),
     }
-
-    # point probes: monkeypatchable? cleaner to inline a copy with the knob.
-    from geodesic_raytracing_tpu.render.background import (
-        read_mipmap,
-    )
-
-    @jax.jit
-    def point_probe_demo(tex, side):
-        # cost model probe pass only: k pixels, nearest-texel gathers
-        n_pix = H * W
-        k = n_pix // 3
-        texf = tex.reshape(-1, 2)[:k]
-        sidef = side.reshape(-1)[:k]
-        lodf = jnp.zeros((k,), jnp.float32)
-        total = jnp.zeros((k, 3), jnp.float32)
-        b = backgrounds
-        wi = jnp.int32(b.level_w[0])
-        hi = jnp.int32(b.level_h[0])
-        for cnt in range(MAXP):
-            cu = texf[:, 0] + 0.001 * cnt
-            cv = texf[:, 1] + 0.001 * cnt
-            x0 = (cu * wi.astype(jnp.float32)).astype(jnp.int32) & (wi - 1)
-            y0 = (cv * hi.astype(jnp.float32)).astype(jnp.int32) & (hi - 1)
-            aidx = jnp.where(sidef >= 1, 0, 1)
-            val = b.atlas[aidx, y0, x0, :]
-            total = total + val
-        return total
-
-    variants["pointk"] = lambda: point_probe_demo(tex, side)
-
-    # flat planar gathers: one 1-D index, three channel gathers
-    flat_r = backgrounds.atlas[..., 0].reshape(-1)
-    flat_g = backgrounds.atlas[..., 1].reshape(-1)
-    flat_b = backgrounds.atlas[..., 2].reshape(-1)
-    AH, AW = backgrounds.atlas.shape[1], backgrounds.atlas.shape[2]
-
-    @jax.jit
-    def flat_probe_demo(tex, side):
-        n_pix = H * W
-        k = n_pix // 3
-        texf = tex.reshape(-1, 2)[:k]
-        sidef = side.reshape(-1)[:k]
-        b = backgrounds
-        wi = jnp.int32(b.level_w[0])
-        hi = jnp.int32(b.level_h[0])
-        total = jnp.zeros((k, 3), jnp.float32)
-        for cnt in range(MAXP):
-            cu = texf[:, 0] + 0.001 * cnt
-            cv = texf[:, 1] + 0.001 * cnt
-            x0 = (cu * wi.astype(jnp.float32)).astype(jnp.int32) & (wi - 1)
-            y0 = (cv * hi.astype(jnp.float32)).astype(jnp.int32) & (hi - 1)
-            aidx = jnp.where(sidef >= 1, 0, 1)
-            idx = (aidx * AH + y0) * AW + x0
-            val = jnp.stack([flat_r[idx], flat_g[idx], flat_b[idx]], axis=-1)
-            total = total + val
-        return total
-
-    variants["flatk"] = lambda: flat_probe_demo(tex, side)
-
-    # packed rgb in one uint32 (8:8:8), single gather + shifts
-    a8 = np.clip(np.asarray(backgrounds.atlas) * 255.0 + 0.5, 0,
-                 255).astype(np.uint32)
-    packed = jnp.asarray(
-        (a8[..., 0] << 16) | (a8[..., 1] << 8) | a8[..., 2]
-    ).reshape(-1)
-
-    @jax.jit
-    def packed_probe_demo(tex, side):
-        n_pix = H * W
-        k = n_pix // 3
-        texf = tex.reshape(-1, 2)[:k]
-        sidef = side.reshape(-1)[:k]
-        b = backgrounds
-        wi = jnp.int32(b.level_w[0])
-        hi = jnp.int32(b.level_h[0])
-        total = jnp.zeros((k, 3), jnp.float32)
-        for cnt in range(MAXP):
-            cu = texf[:, 0] + 0.001 * cnt
-            cv = texf[:, 1] + 0.001 * cnt
-            x0 = (cu * wi.astype(jnp.float32)).astype(jnp.int32) & (wi - 1)
-            y0 = (cv * hi.astype(jnp.float32)).astype(jnp.int32) & (hi - 1)
-            aidx = jnp.where(sidef >= 1, 0, 1)
-            idx = (aidx * AH + y0) * AW + x0
-            w = packed[idx]
-            val = jnp.stack([
-                ((w >> 16) & 0xFF).astype(jnp.float32),
-                ((w >> 8) & 0xFF).astype(jnp.float32),
-                (w & 0xFF).astype(jnp.float32),
-            ], axis=-1) * (1.0 / 255.0)
-            total = total + val
-        return total
-
-    variants["packedk"] = lambda: packed_probe_demo(tex, side)
 
     for name, fn in variants.items():
         ts = []
@@ -169,7 +111,7 @@ def main() -> int:
             t0 = time.perf_counter()
             sync(fn())
             ts.append(time.perf_counter() - t0)
-        print(f"{name:10s} {float(np.median(ts[1:])):7.3f} s")
+        print(f"{name:13s} {float(np.median(ts[1:])):7.3f} s")
     return 0
 
 
