@@ -6,7 +6,12 @@ from .scene import (
     subtriangulate,
 )
 from .physics import ObjectGeodesic, precompute_object
-from .render import render_triangles
+from .render import (
+    build_swept_triangles,
+    intersect_scene,
+    intersect_scene_binned,
+    render_triangles,
+)
 
 __all__ = [
     "Object3",
@@ -16,5 +21,8 @@ __all__ = [
     "subtriangulate",
     "ObjectGeodesic",
     "precompute_object",
+    "build_swept_triangles",
+    "intersect_scene",
+    "intersect_scene_binned",
     "render_triangles",
 ]

@@ -29,6 +29,7 @@ class ObjectGeodesic(NamedTuple):
     physics.hpp:99-278, reduced to what the renderer consumes)."""
 
     positions: Array  # (K, 4)
+    tetrads: Array  # (K, 4, 4) transported tetrads (rows = legs)
     inv_tetrads: Array  # (K, 4, 4) inverse (co-frame) tetrads
     count: Array  # () valid segment-node count
 
@@ -73,7 +74,8 @@ def precompute_object(metric: Metric, obj: Object3, params,
     positions = path.positions[idx]
     sub_tets = tets[idx]
     inv = geodesics.tetrad_inverses_along_path(sub_tets)
-    return ObjectGeodesic(positions=positions, inv_tetrads=inv,
+    return ObjectGeodesic(positions=positions, tetrads=sub_tets,
+                          inv_tetrads=inv,
                           count=jnp.asarray(segments, jnp.int32))
 
 

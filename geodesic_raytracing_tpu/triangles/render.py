@@ -10,12 +10,22 @@ normal (``render_chunked_tris`` cl.cl:4573-4734).
 
 TPU design note: the reference builds per-chunk 4D AABB triangle bins with
 atomic allocators (cl.cl:4265-4571) because its scenes reach 800 MB of swept
-triangles.  Here rays x object-segments x triangles are tested densely under
-masks, scanned over ray segments to bound memory — binning can be added as a
-gather stage when scene sizes demand it.
+triangles.  Two intersectors are provided:
+
+* :func:`intersect_scene` — rays x object-segments x triangles tested
+  densely under masks (exact; right for small scenes), and
+* :func:`intersect_scene_binned` — the reference's binning re-expressed
+  without atomics: swept-triangle 4D AABBs (``generate_computed_tris``
+  cl.cl:4386), per-ray-chunk 4D AABBs (``generate_clip_regions``
+  cl.cl:4265), a dense periodic-overlap matrix replacing the atomic bin
+  allocator (``generate_tri_lists2`` cl.cl:4490, ``common.cl:58-119``), and
+  a static per-chunk candidate budget selected with ``top_k`` — the
+  variable-length bins of the reference become fixed-size gathers.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -194,14 +204,190 @@ def intersect_scene(metric: Metric, path: Array, scene: TriangleScene,
     return jnp.isfinite(best_key), colour
 
 
+class SweptTriangles(NamedTuple):
+    """The "computed tris" buffer (``generate_computed_tris`` cl.cl:4386):
+    one entry per (object geodesic segment x triangle), all objects
+    concatenated, with padded 4D AABBs and everything the toblerone solve
+    needs gathered per entry."""
+
+    lo: Array  # (M, 4) AABB min (generic coordinates)
+    hi: Array  # (M, 4) AABB max
+    v0: Array  # (M, 3) local-frame triangle vertices
+    v1: Array
+    v2: Array
+    p1: Array  # (M, 4) object node positions bounding the segment
+    p2: Array
+    ier: Array  # (M, 4, 4) inverse tetrads at the nodes
+    ien: Array
+    normal: Array  # (M, 3) local-frame unit normal (shading)
+
+
+def build_swept_triangles(scene: TriangleScene,
+                          geos: list["ObjectGeodesic"],
+                          pad: float = 0.0) -> SweptTriangles:
+    """Sweep every object's triangles along its geodesic segments and bound
+    each swept volume with a 4D AABB (``generate_computed_tris``
+    cl.cl:4386-4488).  Triangle world extents come from the transported
+    tetrads: vertex^mu = p^mu + v^a e_a^mu at each bounding node."""
+    parts = []
+    for oi, geo in enumerate(geos):
+        mask = np.asarray(scene.parent) == oi
+        if not mask.any():
+            continue
+        v0 = jnp.asarray(scene.v0[mask])  # (T, 3)
+        v1 = jnp.asarray(scene.v1[mask])
+        v2 = jnp.asarray(scene.v2[mask])
+        T = v0.shape[0]
+        p = geo.positions          # (K, 4)
+        es = geo.tetrads           # (K, 4, 4) rows = legs
+        K = p.shape[0]
+
+        verts = jnp.stack([v0, v1, v2], axis=1)  # (T, 3, 3)
+        local4 = jnp.concatenate(
+            [jnp.zeros(verts.shape[:-1] + (1,), verts.dtype), verts], axis=-1
+        )  # (T, 3, 4)
+        # world offset^mu = v^a e_a^mu  (tetrad_to_coordinate, cl.cl:2150)
+        offs = jnp.einsum("tva,kam->ktvm", local4, es)  # (K, T, 3, 4)
+        world = p[:, None, None, :] + offs
+
+        # Per segment: bound the 6 vertices at nodes k and k+1.
+        w1, w2 = world[:-1], world[1:]  # (K-1, T, 3, 4)
+        both = jnp.concatenate([w1, w2], axis=2)  # (K-1, T, 6, 4)
+        lo = jnp.min(both, axis=2) - pad
+        hi = jnp.max(both, axis=2) + pad
+
+        e1 = v1 - v0
+        e2 = v2 - v0
+        nrm = jnp.cross(e1, e2)
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12
+        )
+
+        def seg_tri(x, extra=(K - 1, T)):  # (K-1, T, ...) -> (M_o, ...)
+            return x.reshape((extra[0] * extra[1],) + x.shape[2:])
+
+        def per_tri(x):  # (T, ...) -> (M_o, ...) tiled over segments
+            return jnp.tile(x, (K - 1,) + (1,) * (x.ndim - 1))
+
+        def per_seg(x):  # (K-1, ...) -> (M_o, ...) repeated over triangles
+            return jnp.repeat(x, T, axis=0)
+
+        parts.append(SweptTriangles(
+            lo=seg_tri(lo), hi=seg_tri(hi),
+            v0=per_tri(v0), v1=per_tri(v1), v2=per_tri(v2),
+            p1=per_seg(p[:-1]), p2=per_seg(p[1:]),
+            ier=per_seg(geo.inv_tetrads[:-1]),
+            ien=per_seg(geo.inv_tetrads[1:]),
+            normal=per_tri(nrm),
+        ))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+
+
+def _periodic_aabb_overlap(lo1, hi1, lo2, hi2, periods):
+    """Periodic 4D AABB overlap (``common.cl:58-119``): compare centre
+    distances (shortest wrapped) against summed half-extents.  Shapes
+    broadcast; the coordinate axis is last."""
+    c1, h1 = (lo1 + hi1) * 0.5, (hi1 - lo1) * 0.5
+    c2, h2 = (lo2 + hi2) * 0.5, (hi2 - lo2) * 0.5
+    d = jnp.abs(periodic_diff(c1, c2, periods))
+    return jnp.all(d <= h1 + h2, axis=-1)
+
+
+def intersect_scene_binned(metric: Metric, path: Array,
+                           scene: TriangleScene,
+                           geos: list["ObjectGeodesic"], params,
+                           block: int = 256, budget: int = 64,
+                           pad: float = 0.0):
+    """Binned twin of :func:`intersect_scene`: per (ray block x ray segment)
+    chunk, only the ``budget`` swept triangles whose AABBs overlap the
+    chunk's AABB run the toblerone solve (``generate_clip_regions`` ->
+    ``generate_tri_lists2`` -> ``render_chunked_tris``, cl.cl:4265-4734).
+
+    Work drops from N*S*K*T toblerone solves to N*S*budget; a chunk whose
+    overlap set exceeds ``budget`` keeps the earliest object segments (the
+    reference's bins simply overflow, cl.cl:4544-4556).  Exact whenever the
+    per-chunk overlap count fits the budget.
+    """
+    periods = metric.periods(params)
+    swept = build_swept_triangles(scene, geos, pad=pad)
+    M = swept.lo.shape[0]
+    B = min(budget, M)
+
+    S = path.shape[0] - 1
+    n = path.shape[1]
+    nb = -(-n // block)
+    n_pad = nb * block
+
+    def pad_rays(x):  # (N, 4) -> (NB, RB, 4); clone the last ray as filler
+        fill = jnp.broadcast_to(x[-1:], (n_pad - n, 4))
+        return jnp.concatenate([x, fill]).reshape(nb, block, 4)
+
+    best_key = jnp.full((n_pad,), jnp.inf)
+    colour = jnp.zeros((n_pad, 3))
+
+    for s in range(S):
+        ga = pad_rays(path[s])
+        gb = pad_rays(path[s + 1])
+
+        # Chunk AABBs over the block's segment endpoints
+        # (generate_clip_regions cl.cl:4265: workgroup reduction -> jnp.min).
+        seg = jnp.concatenate([ga, gb], axis=1)  # (NB, 2*RB, 4)
+        lo_c = jnp.min(seg, axis=1)  # (NB, 4)
+        hi_c = jnp.max(seg, axis=1)
+
+        ov = _periodic_aabb_overlap(
+            lo_c[:, None, :], hi_c[:, None, :],
+            swept.lo[None], swept.hi[None], periods,
+        )  # (NB, M)
+
+        # Fixed-budget bins: top_k of the overlap mask keeps the first B
+        # overlapping entries per chunk (top_k is stable: ties resolve to
+        # the lowest index — the earliest object segment).
+        vals, idx = jax.lax.top_k(ov.astype(jnp.float32), B)  # (NB, B)
+        valid = vals > 0.0
+
+        cand = jax.tree.map(lambda x: x[idx], swept)  # (NB, B, ...)
+
+        def for_block(a_blk, b_blk, c, vld):
+            def for_ray(a, b):
+                def for_cand(t0, t1, t2, p1, p2, ier, ien):
+                    return _toblerone_hit(a, b, t0, t1, t2, p1, p2,
+                                          ier, ien, periods)
+
+                return jax.vmap(for_cand)(c.v0, c.v1, c.v2, c.p1, c.p2,
+                                          c.ier, c.ien)  # (B,)
+
+            hits, ts = jax.vmap(for_ray)(a_blk, b_blk)  # (RB, B)
+            hits = hits & vld[None, :]
+            ts = jnp.where(hits, ts, jnp.inf)
+            arg = jnp.argmin(ts, axis=1)  # (RB,)
+            t_best = jnp.take_along_axis(ts, arg[:, None], axis=1)[:, 0]
+            return t_best, c.normal[arg]
+
+        t_best, nrm = jax.vmap(for_block)(ga, gb, cand, valid)
+        t_best = t_best.reshape(n_pad)
+        col = jnp.abs(nrm.reshape(n_pad, 3))
+
+        key = s + jnp.clip(t_best, 0.0, 1.0)
+        better = jnp.isfinite(t_best) & (key < best_key)
+        best_key = jnp.where(better, key, best_key)
+        colour = jnp.where(better[:, None], col, colour)
+
+    return jnp.isfinite(best_key[:n]), colour[:n]
+
+
 def render_triangles(metric: Metric, state: RayState, params,
                      scene: TriangleScene, geos: list[ObjectGeodesic],
                      features: Features | None = None,
                      opts: TraceOptions = TraceOptions(),
-                     n_slots: int = 16, steps_per_slot: int = 64):
+                     n_slots: int = 16, steps_per_slot: int = 64,
+                     binned: bool = False, block: int = 256,
+                     budget: int = 64):
     """Trace rays with path recording, then intersect the scene.
 
-    Returns ``(final RayState, hit (N,), colour (N, 3))``.
+    ``binned`` switches to the AABB-binned intersector (the reference's
+    chunked path; right for large scenes).  Returns ``(final RayState,
+    hit (N,), colour (N, 3))``.
     """
     if features is None:
         features = Features.for_metric(metric)
@@ -209,5 +395,10 @@ def render_triangles(metric: Metric, state: RayState, params,
         metric, state, params, features=features, opts=opts,
         n_slots=n_slots, steps_per_slot=steps_per_slot,
     )
-    hit, colour = intersect_scene(metric, path, scene, geos, params)
+    if binned:
+        hit, colour = intersect_scene_binned(metric, path, scene, geos,
+                                             params, block=block,
+                                             budget=budget)
+    else:
+        hit, colour = intersect_scene(metric, path, scene, geos, params)
     return final, hit, colour

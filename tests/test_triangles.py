@@ -77,3 +77,61 @@ def test_minkowski_cube_hits():
     # Hit colour is a face normal magnitude: one channel ~1.
     cols = np.asarray(colour)[hit]
     assert (cols.max(axis=1) > 0.9).all()
+
+
+def test_binned_matches_dense():
+    """The AABB-binned intersector agrees with the dense one whenever the
+    per-chunk overlap count fits the budget (it does here by a wide
+    margin)."""
+    m = metrics.get_metric("minkowski")
+    params = m.params()
+    feats = Features.for_metric(m)
+
+    cube = make_cube([-40.0, 0.0, 0.0, 0.0], scale=1.0)
+    geo = precompute_object(m, cube, params, feats, n_steps=256, segments=16)
+    # Second object off to the side exercises multi-object concatenation.
+    cube2 = make_cube([-40.0, 0.0, 2.0, 0.0], scale=0.8)
+    geo2 = precompute_object(m, cube2, params, feats, n_steps=256,
+                             segments=16)
+    scene = TriangleScene.build([cube, cube2])
+
+    n = 16
+    offsets = np.linspace(-1.0, 3.0, n)
+    pos = np.tile([0.0, -7.0, 0.0, 0.0], (n, 1)).astype(np.float32)
+    dirs = np.stack([np.full(n, 7.0), offsets, np.zeros(n)], -1)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    vel = np.concatenate([-np.ones((n, 1)), dirs], axis=1).astype(np.float32)
+    st = init_ray_state(m, jnp.asarray(pos), jnp.asarray(vel), params, feats)
+
+    common = dict(features=feats, opts=TraceOptions(max_steps=512),
+                  n_slots=8, steps_per_slot=32)
+    _, hit_d, col_d = render_triangles(m, st, params, scene, [geo, geo2],
+                                       **common)
+    _, hit_b, col_b = render_triangles(m, st, params, scene, [geo, geo2],
+                                       binned=True, block=8, budget=96,
+                                       **common)
+    np.testing.assert_array_equal(np.asarray(hit_d), np.asarray(hit_b))
+    assert np.asarray(hit_b).any()  # the comparison is not vacuous
+    np.testing.assert_allclose(np.asarray(col_d), np.asarray(col_b),
+                               atol=1e-5)
+
+
+def test_binned_budget_prunes():
+    """A tiny budget still finds hits for simple scenes (earliest segments
+    win, like the reference's overflowing bins)."""
+    m = metrics.get_metric("minkowski")
+    params = m.params()
+    feats = Features.for_metric(m)
+    cube = make_cube([-40.0, 0.0, 0.0, 0.0], scale=1.0)
+    geo = precompute_object(m, cube, params, feats, n_steps=256, segments=16)
+    scene = TriangleScene.build([cube])
+
+    pos = np.array([[0.0, -7.0, 0.0, 0.0]], dtype=np.float32)
+    vel = np.array([[-1.0, 1.0, 0.0, 0.0]], dtype=np.float32)
+    st = init_ray_state(m, jnp.asarray(pos), jnp.asarray(vel), params, feats)
+    _, hit, _ = render_triangles(
+        m, st, params, scene, [geo], features=feats,
+        opts=TraceOptions(max_steps=512), n_slots=8, steps_per_slot=32,
+        binned=True, block=8, budget=16,
+    )
+    assert np.asarray(hit)[0]
