@@ -44,6 +44,11 @@ def main(argv=None) -> int:
                     metavar=("VX", "VY", "VZ"),
                     help="observer 3-velocity in the tetrad frame (|v| < 1)")
     ap.add_argument("--redshift", action="store_true")
+    ap.add_argument("--old-redshift", action="store_true",
+                    help="reference use_old_redshift feature: no blueshift "
+                         "energy redistribution")
+    ap.add_argument("--dominant-colour", action="store_true",
+                    help="per-pixel dominant-wavelength redshift variant")
     ap.add_argument("--adaptive", action="store_true",
                     help="adaptive sampling: quarter-density trace + "
                          "error-driven refinement (reference default)")
@@ -156,6 +161,8 @@ def main(argv=None) -> int:
         fov_degrees=args.fov,
         anisotropy=args.anisotropy,
         redshift=args.redshift,
+        old_redshift=args.old_redshift,
+        dominant_colour=args.dominant_colour,
         adaptive_sampling=args.adaptive,
         trace=TraceOptions(max_steps=args.max_steps),
     )

@@ -30,10 +30,11 @@ def energy_of(v: Array) -> Array:
     )
 
 
-def redshift_colour(v: Array, z: Array) -> Array:
+def redshift_colour(v: Array, z: Array, old: bool = False) -> Array:
     """Map the shift z in [-1, +inf] onto a red/blue hue mix while conserving
-    estimated radiant energy (``redshift()`` cl.cl:5371-5413, the
-    ``use_old_redshift = false`` path)."""
+    estimated radiant energy (``redshift()`` cl.cl:5371-5413).  ``old``
+    selects the reference's ``use_old_redshift`` feature (main.cpp:1139):
+    skip the blueshift energy-overflow redistribution (cl.cl:5397-5406)."""
     radiant_energy = energy_of(v)[..., None]
     red = jnp.array([1.0 / 0.2125, 0.0, 0.0])
     green = jnp.array([0.0, 1.0 / 0.7154, 0.0])
@@ -45,12 +46,13 @@ def redshift_colour(v: Array, z: Array) -> Array:
     iv1pz = 1.0 / (1.0 + jnp.minimum(z, 0.0)) - 1.0
     frac = jnp.tanh(iv1pz)[..., None]
     col = v + (radiant_energy * blue - v) * frac
-    # Energy overflow from clamping is shared back into red+green
-    # (cl.cl:5398-5406).
-    final_energy = energy_of(jnp.clip(col, 0.0, 1.0))
-    real_energy = energy_of(col)
-    remaining = (real_energy - final_energy)[..., None]
-    col = col.at[..., 0:2].add(remaining * (red + green)[0:2])
+    if not old:
+        # Energy overflow from clamping is shared back into red+green
+        # (cl.cl:5398-5406).
+        final_energy = energy_of(jnp.clip(col, 0.0, 1.0))
+        real_energy = energy_of(col)
+        remaining = (real_energy - final_energy)[..., None]
+        col = col.at[..., 0:2].add(remaining * (red + green)[0:2])
 
     result = jnp.where(z[..., None] > 0, result_red, col)
     return jnp.clip(result, 0.0, 1.0)
@@ -106,7 +108,8 @@ def dominant_wavelength(lin_rgb: Array) -> Array:
 
 
 def apply_redshift(lin_rgb: Array, z_shift: Array,
-                   dominant_colour: bool = False) -> Array:
+                   dominant_colour: bool = False,
+                   old: bool = False) -> Array:
     """Full redshift pipeline on linear RGB (cl.cl:5689-5846):
     I/nu^3 Lorentz-invariant luminance rescale at the test wavelength, then
     the hue-shift model.  ``dominant_colour`` estimates a per-pixel test
@@ -129,4 +132,4 @@ def apply_redshift(lin_rgb: Array, z_shift: Array,
     )
     scale = jnp.where(rel_lum > 1e-5, new_rel / jnp.maximum(rel_lum, 1e-20), 1.0)
     out = jnp.clip(lin_rgb * scale[..., None], 0.0, 1.0)
-    return redshift_colour(out, z_shift)
+    return redshift_colour(out, z_shift, old=old)

@@ -49,6 +49,11 @@ class RenderSettings:
     fov_degrees: float = 90.0
     anisotropy: int = 16
     redshift: bool = False
+    # use_old_redshift feature (main.cpp:1139): skip the blueshift
+    # energy-overflow redistribution (cl.cl:5397-5406).
+    old_redshift: bool = False
+    # DOMINANT_COLOUR variant (cl.cl:5724-5792): per-pixel test wavelength.
+    dominant_colour: bool = False
     flip_geodesic_direction: bool = False
     trace: TraceOptions = TraceOptions()
     # Reference defaults: adaptive sampling on (main.cpp:1152), threshold 64
@@ -844,7 +849,9 @@ def shade(rdata: RenderData, backgrounds: bg.Background,
     )
 
     if settings.redshift:
-        rgb = colour.apply_redshift(rgb, z_shift)
+        rgb = colour.apply_redshift(rgb, z_shift,
+                                    dominant_colour=settings.dominant_colour,
+                                    old=settings.old_redshift)
 
     # terminated != 1 paints black (cl.cl:5470-5474).
     mask = (terminated == integrate.ESCAPED)[..., None]

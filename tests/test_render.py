@@ -129,6 +129,24 @@ def test_redshift_extremes():
     assert blue[0, 2] >= blue[0, 0]
 
 
+def test_old_redshift_skips_energy_redistribution():
+    """use_old_redshift (cl.cl:5397-5406): the old path must not push the
+    clamped blueshift overflow back into red+green; redshift (z > 0) is
+    unaffected."""
+    rgb = jnp.array([[0.6, 0.6, 0.6]])
+    z_blue = jnp.array([-0.9])
+    new = np.asarray(colour.redshift_colour(rgb, z_blue))
+    old = np.asarray(colour.redshift_colour(rgb, z_blue, old=True))
+    # Redistribution adds energy to r/g; the old path leaves them lower.
+    assert old[0, 0] < new[0, 0] and old[0, 1] < new[0, 1]
+    np.testing.assert_allclose(old[0, 2], new[0, 2], atol=1e-6)
+    z_red = jnp.array([2.0])
+    np.testing.assert_allclose(
+        np.asarray(colour.redshift_colour(rgb, z_red, old=True)),
+        np.asarray(colour.redshift_colour(rgb, z_red)), atol=1e-6,
+    )
+
+
 def test_dominant_wavelength_orders_primaries():
     wl_r = float(colour.dominant_wavelength(jnp.array([[0.9, 0.05, 0.05]]))[0])
     wl_g = float(colour.dominant_wavelength(jnp.array([[0.05, 0.9, 0.05]]))[0])
