@@ -58,6 +58,10 @@ def main(argv=None) -> int:
                          "from the camera position with --speed, rendered at "
                          "proper time TAU (fly-through mode)")
     ap.add_argument("--max-steps", type=int, default=16384)
+    ap.add_argument("--supersample", type=int, default=1, metavar="K",
+                    help="render at K x resolution and box-downsample "
+                         "(graphics_settings supersampling, "
+                         "main.cpp:1760-1792)")
     ap.add_argument("--frames", type=int, default=10, help="bench frame count")
     ap.add_argument("--anisotropy", type=int, default=8)
     ap.add_argument("--param", action="append", default=[],
@@ -155,9 +159,10 @@ def main(argv=None) -> int:
     else:
         backgrounds = bg.checker_background()
 
+    ss = max(1, args.supersample)
     settings = RenderSettings(
-        width=args.width,
-        height=args.height,
+        width=args.width * ss,
+        height=args.height * ss,
         fov_degrees=args.fov,
         anisotropy=args.anisotropy,
         redshift=args.redshift,
@@ -244,10 +249,12 @@ def main(argv=None) -> int:
         )
         import jax.numpy as _jnp
 
-        hit = hit.reshape(args.height, args.width)
-        tri_col = tri_col.reshape(args.height, args.width, 3)
+        hit = hit.reshape(settings.height, settings.width)
+        tri_col = tri_col.reshape(settings.height, settings.width, 3)
         img = _jnp.where(hit[..., None], tri_col, img)
 
+    if ss > 1:  # box-downsample the supersampled frame
+        img = img.reshape(args.height, ss, args.width, ss, 3).mean((1, 3))
     img.block_until_ready()
     dt = time.perf_counter() - t0
 
