@@ -312,13 +312,18 @@ def _circular_diff(a: Array, b: Array) -> Array:
 def sample_anisotropic(bgr: Background, tex: Array, side: Array,
                        max_probes: int = 16, bias_frac: float = 1.3,
                        trilinear: bool = True,
-                       probe_bilinear: bool = False) -> Array:
+                       probe_bilinear: bool = False,
+                       live: Array | None = None) -> Array:
     """EWA-style anisotropic filtering over the equirect map
     (cl.cl:5524-5687): screen-space uv derivatives from neighbouring pixels'
     texture coords, Heckbert ellipse axes, up to ``max_probes`` gaussian-
     weighted probes along the major axis.
 
     ``tex``: (H, W, 2); ``side``: (H, W) int32.  Returns (H, W, 3).
+    ``live`` (optional bool (H, W)): pixels that will actually be displayed.
+    Non-live pixels (the black shadow; painted over by the caller) drop out
+    of the probe budget — their tex derivatives explode across the shadow
+    edge and would otherwise crowd out real anisotropic pixels.
     """
     H, W, _ = tex.shape
 
@@ -368,6 +373,9 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
         2.0 * major / (i_probes.astype(jnp.float32) + 1.0),
         minor,
     )
+
+    if live is not None:
+        i_probes = jnp.where(live, i_probes, 1)
 
     lod = jnp.log2(jnp.maximum(minor, 1e-20))
     max_lod = bgr.levels - 1.0

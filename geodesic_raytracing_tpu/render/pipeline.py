@@ -846,6 +846,7 @@ def shade(rdata: RenderData, backgrounds: bg.Background,
     rgb = bg.sample_anisotropic(
         backgrounds, tex, side, max_probes=settings.anisotropy,
         trilinear=settings.trilinear, probe_bilinear=settings.probe_bilinear,
+        live=terminated == integrate.ESCAPED,
     )
 
     if settings.redshift:
