@@ -366,11 +366,21 @@ def _angle_between(a1: Array, a2: Array) -> Array:
     return jnp.arccos(jnp.clip(d, -1.0, 1.0))
 
 
-def _interp_rdata(c: RenderData, o: RenderData) -> RenderData:
+def _interp_rdata(c: RenderData, o: RenderData,
+                  vc: Array | None = None, vo: Array | None = None
+                  ) -> RenderData:
     """``interpolate_render_data`` (cl.cl:5111-5133): midpoint on the sphere,
-    averaged z_shift, centre's terminated flag."""
-    vc = (_ang_to_vec(c.angles) + _ang_to_vec(o.angles)) / 2.0
-    ang = _vec_to_ang(vc)
+    averaged z_shift, centre's terminated flag.
+
+    ``vc``/``vo``: optional precomputed ``_ang_to_vec`` of the two angle
+    fields — the assemble stage shares ONE conversion of the quarter grid
+    across its three neighbour interpolations (the sphere trig was half the
+    finish stage)."""
+    if vc is None:
+        vc = _ang_to_vec(c.angles)
+    if vo is None:
+        vo = _ang_to_vec(o.angles)
+    ang = _vec_to_ang((vc + vo) / 2.0)
     return RenderData(
         tex_coord=angle_to_tex(ang),
         z_shift=(c.z_shift + o.z_shift) / 2.0,
@@ -799,9 +809,16 @@ def _adaptive_assemble(qg: RenderData, r0: RenderData, r1: RenderData,
     down = shiftall(qg, 1, 0)
     down_right = shiftall(qg, 1, 1)
 
-    interp_r = _interp_rdata(qg, right)
-    interp_d = _interp_rdata(qg, down)
-    interp_dr = _interp_rdata(qg, down_right)
+    # One angle->vector conversion of the quarter grid, shifted for the
+    # three neighbours (the per-neighbour trig was half the finish stage).
+    vq = _ang_to_vec(qg.angles)
+
+    def shv(dy, dx):
+        return jnp.roll(vq, (-dy, -dx), axis=(0, 1))
+
+    interp_r = _interp_rdata(qg, right, vq, shv(0, 1))
+    interp_d = _interp_rdata(qg, down, vq, shv(1, 0))
+    interp_dr = _interp_rdata(qg, down_right, vq, shv(1, 1))
 
     def pick(traced, interp):
         return jax.tree.map(
