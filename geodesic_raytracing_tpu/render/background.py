@@ -313,7 +313,9 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
                        max_probes: int = 16, bias_frac: float = 1.3,
                        trilinear: bool = True,
                        probe_bilinear: bool = False,
-                       live: Array | None = None) -> Array:
+                       live: Array | None = None,
+                       probe_segments: tuple = (),
+                       base_point: bool = False) -> Array:
     """EWA-style anisotropic filtering over the equirect map
     (cl.cl:5524-5687): screen-space uv derivatives from neighbouring pixels'
     texture coords, Heckbert ellipse axes, up to ``max_probes`` gaussian-
@@ -324,6 +326,19 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     Non-live pixels (the black shadow; painted over by the caller) drop out
     of the probe budget — their tex derivatives explode across the shadow
     edge and would otherwise crowd out real anisotropic pixels.
+
+    ``probe_segments``: optional static schedule ``((frac, iters), ...)`` —
+    pixels are already rank-ordered by descending probe count, so the sorted
+    prefix is cut into segments: the first ``frac``-of-all-pixels run
+    ``iters`` probe iterations, the next segment fewer, and so on.  A
+    pixel whose ellipse wants more probes than its segment grants is
+    re-clamped through the standard EWA budget rule (minor axis grows →
+    overblur, never alias) — exactly what ``max_probes`` itself does.  The
+    probe loop is gather-bound and masked lanes still pay their gather, so
+    a dense loop costs ``k * max_probes`` gathers while the measured probe
+    distribution is heavily skewed towards 1-2; segments cut that ~2x at
+    equal anisotropy budget.  Empty = one segment: the top third of pixels
+    at the full ``max_probes``.
     """
     H, W, _ = tex.shape
 
@@ -363,56 +378,69 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     theta = jnp.arctan2(B, (A - C) / 2.0)
 
     major = jnp.maximum(jnp.maximum(major, 1.0), minor)
-    minor = jnp.maximum(minor, 1.0)
+    minor0 = jnp.maximum(minor, 1.0)
 
-    f_probes = 2.0 * (major / minor) - 1.0
-    i_probes = jnp.floor(f_probes + 0.5).astype(jnp.int32)
-    i_probes = jnp.minimum(i_probes, max_probes)
-    minor = jnp.where(
-        i_probes.astype(jnp.float32) < f_probes,
-        2.0 * major / (i_probes.astype(jnp.float32) + 1.0),
-        minor,
-    )
-
+    f_probes = 2.0 * (major / minor0) - 1.0
+    i_probes0 = jnp.floor(f_probes + 0.5).astype(jnp.int32)
+    i_probes0 = jnp.minimum(i_probes0, max_probes)
     if live is not None:
-        i_probes = jnp.where(live, i_probes, 1)
+        i_probes0 = jnp.where(live, i_probes0, 1)
 
-    lod = jnp.log2(jnp.maximum(minor, 1e-20))
     max_lod = bgr.levels - 1.0
-    over = lod > max_lod
-    lod = jnp.where(over, max_lod, lod)
-    i_probes = jnp.where(over, 1, i_probes)
-    i_probes = jnp.maximum(i_probes, 1)
 
-    # Probe walk along the major axis (cl.cl:5636-5687), fixed-bound with
-    # masking: probe cnt contributes iff cnt < i_probes.
-    line_length = 2.0 * (major - minor)
-    np_f = jnp.maximum(i_probes.astype(jnp.float32) - 1.0, 1.0)
-    du = jnp.cos(theta) * line_length / np_f
-    dv = jnp.sin(theta) * line_length / np_f
+    def probe_geom(ip):
+        """The EWA probe-budget rule (cl.cl:5608-5634) for a given per-pixel
+        probe count: clamping below the ellipse's wanted count grows the
+        minor axis (overblur, never alias); a minor above the top mip level
+        collapses to one probe."""
+        ipf32 = ip.astype(jnp.float32)
+        mnr = jnp.where(ipf32 < f_probes, 2.0 * major / (ipf32 + 1.0), minor0)
+        lod = jnp.log2(jnp.maximum(mnr, 1e-20))
+        over = lod > max_lod
+        lod = jnp.where(over, max_lod, lod)
+        ip = jnp.where(over, 1, ip)
+        ip = jnp.maximum(ip, 1)
+        return ip, mnr, lod
 
-    odd = (i_probes % 2) == 1
-    start_n = jnp.where(odd, -(i_probes - 1), -i_probes - 1)
-
-    sU = du / w0
-    sV = dv / h0
+    i_probes, minor, lod = probe_geom(i_probes0)
     alpha = 2.0
 
     # Two passes: every pixel takes its centre sample; only the
-    # highest-anisotropy quarter of pixels (sorted) runs the full masked
-    # probe loop — most pixels need one probe, and the dense loop would pay
+    # highest-anisotropy third of pixels (sorted) runs the masked probe
+    # loop — most pixels need one probe, and the dense loop would pay
     # max_probes gathers for all of them.
     # Pixels outside the probe budget fall back to an isotropic blur at the
     # ellipse's *major* radius (overblur rather than alias).
     lod_major = jnp.clip(jnp.log2(jnp.maximum(major, 1e-20)), 0.0,
                          bgr.levels - 1.0)
     base_lod = jnp.where(i_probes > 1, lod_major, lod)
-    base = read_mipmap(bgr, side, tex, base_lod, trilinear=trilinear)
+    base = read_mipmap(bgr, side, tex, base_lod, trilinear=trilinear,
+                       point=base_point)
     if max_probes <= 1:
         return base
 
     n_pix = int(np.prod(tex.shape[:-1]))
-    k = max(min(n_pix, 1024), n_pix // 3)
+
+    # Static segment bounds over the sorted prefix: (start, end, iters).
+    segs = tuple(probe_segments) or ((1.0 / 3.0, max_probes),)
+    bounds = []
+    prev = 0
+    acc = 0.0
+    for frac, iters in segs:
+        acc += float(frac)
+        end = min(n_pix, max(int(n_pix * acc), prev))
+        if end > prev:
+            bounds.append((prev, end, max(int(iters), 2)))
+        prev = end
+    k_min = min(n_pix, 1024)  # small-image floor
+    if prev < k_min:
+        start = bounds[-1][0] if bounds and bounds[-1][1] == prev else prev
+        iters = bounds[-1][2] if bounds else max_probes
+        if bounds and bounds[-1][1] == prev:
+            bounds[-1] = (start, k_min, iters)
+        else:
+            bounds.append((prev, k_min, iters))
+    k = bounds[-1][1]
 
     def flat(x):
         return x.reshape((n_pix,) + x.shape[tex.ndim - 1:])
@@ -426,8 +454,34 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     # up to tie order (irrelevant: ties get identical treatment).
     from ..ops import packing
 
-    order, _ = packing.bucket_sort_perm(max_probes - ip_f, max_probes)
+    order, dest = packing.bucket_sort_perm(max_probes - ip_f, max_probes)
     order = order[:k]
+
+    if len(bounds) > 1:
+        # Per-pixel probe budget from the rank in the sorted order; pixels
+        # wanting more than their segment grants re-clamp through
+        # probe_geom (overblur).  Rank thresholds are static, so this is
+        # pure elementwise work.
+        budget = jnp.ones((n_pix,), jnp.int32)
+        for start, end, iters in reversed(bounds):
+            budget = jnp.where(dest < end, iters, budget)
+        ip_eff = jnp.minimum(
+            i_probes, budget.reshape(i_probes.shape)
+        )
+        i_probes, minor, lod = probe_geom(ip_eff)
+
+    # Probe walk along the major axis (cl.cl:5636-5687), fixed-bound with
+    # masking: probe cnt contributes iff cnt < i_probes.
+    line_length = 2.0 * (major - minor)
+    np_f = jnp.maximum(i_probes.astype(jnp.float32) - 1.0, 1.0)
+    du = jnp.cos(theta) * line_length / np_f
+    dv = jnp.sin(theta) * line_length / np_f
+
+    odd = (i_probes % 2) == 1
+    start_n = jnp.where(odd, -(i_probes - 1), -i_probes - 1)
+
+    sU = du / w0
+    sV = dv / h0
 
     # ONE (k, 11) row gather instead of ten skinny per-field gathers:
     # gathers cost per row fetched, and the per-field permutation gathers
@@ -452,24 +506,32 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     startf = fields[:, 9].astype(jnp.int32)
     ipf = fields[:, 10].astype(jnp.int32)
 
-    total = jnp.zeros((k, 3), dtype=jnp.float32)
-    weight = jnp.zeros((k,), dtype=jnp.float32)
-    for cnt in range(max_probes):
-        nn = startf + 2 * cnt
-        active = cnt < ipf
-        d2 = (nn.astype(jnp.float32) ** 2 / 4.0) * (duf * duf + dvf * dvf) / (
-            majorf * majorf
-        )
-        rel_w = jnp.where(active, jnp.exp(-alpha * d2), 0.0)
-        cu = texf[:, 0] + (nn.astype(jnp.float32) / 2.0) * sUf
-        cv = texf[:, 1] + (nn.astype(jnp.float32) / 2.0) * sVf
-        uv = jnp.stack([jnp.mod(cu, 1.0), jnp.mod(cv, 1.0)], axis=-1)
-        val = read_mipmap(bgr, sidef, uv, lodf, trilinear=trilinear,
-                          point=not probe_bilinear)
-        total = total + rel_w[:, None] * val
-        weight = weight + rel_w
+    # Each segment runs only as many probe iterations as its budget grants
+    # (its rows' i_probes are <= that by construction), so the gather count
+    # follows the skewed probe distribution instead of k * max_probes.
+    parts = []
+    for start, end, iters in bounds:
+        sl = slice(start, end)
+        total = jnp.zeros((end - start, 3), dtype=jnp.float32)
+        weight = jnp.zeros((end - start,), dtype=jnp.float32)
+        for cnt in range(iters):
+            nn = startf[sl] + 2 * cnt
+            active = cnt < ipf[sl]
+            d2 = (nn.astype(jnp.float32) ** 2 / 4.0) * (
+                duf[sl] * duf[sl] + dvf[sl] * dvf[sl]
+            ) / (majorf[sl] * majorf[sl])
+            rel_w = jnp.where(active, jnp.exp(-alpha * d2), 0.0)
+            cu = texf[sl, 0] + (nn.astype(jnp.float32) / 2.0) * sUf[sl]
+            cv = texf[sl, 1] + (nn.astype(jnp.float32) / 2.0) * sVf[sl]
+            uv = jnp.stack([jnp.mod(cu, 1.0), jnp.mod(cv, 1.0)], axis=-1)
+            val = read_mipmap(bgr, sidef[sl], uv, lodf[sl],
+                              trilinear=trilinear,
+                              point=not probe_bilinear)
+            total = total + rel_w[:, None] * val
+            weight = weight + rel_w
+        parts.append(total / jnp.maximum(weight, 1e-20)[:, None])
 
-    multi = total / jnp.maximum(weight, 1e-20)[:, None]
+    multi = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     out = flat(base)
     use_multi = (ipf > 1)[:, None]
     out = out.at[order].set(jnp.where(use_multi, multi, out[order]))

@@ -73,6 +73,10 @@ class RenderSettings:
     # Default off: probes are gaussian-averaged anyway, and the shade stage
     # is gather-bound on TPU — nearest-texel probes cost 1 gather.
     probe_bilinear: bool = False
+    # EWA probe-iteration schedule over the sorted prefix:
+    # ((frac, iters), ...) — see background.sample_anisotropic.  Empty =
+    # one segment, the top third of pixels at the full anisotropy budget.
+    probe_segments: tuple = ()
     # Constant-theta planar tracing for spherically symmetric metrics
     # (exact by symmetry; GENERIC_CONSTANT_THETA).
     planar: bool = True
@@ -864,6 +868,7 @@ def shade(rdata: RenderData, backgrounds: bg.Background,
         backgrounds, tex, side, max_probes=settings.anisotropy,
         trilinear=settings.trilinear, probe_bilinear=settings.probe_bilinear,
         live=terminated == integrate.ESCAPED,
+        probe_segments=settings.probe_segments,
     )
 
     if settings.redshift:

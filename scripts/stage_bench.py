@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--save-npz", default=None,
+                    help="dump per-launch (steps, dead, cost) arrays for "
+                         "offline packing experiments")
     args = ap.parse_args()
 
     import jax
@@ -52,8 +55,9 @@ def main() -> int:
     camera = Camera.default().rotate(pitch=-np.pi / 2)
     backgrounds = bg.checker_background()
     settings = pl.RenderSettings(
-        width=W, height=H, anisotropy=4, trilinear=False,
-        adaptive_sampling=True,
+        width=W, height=H, anisotropy=8,
+        probe_segments=((0.072, 8), (0.11, 4), (0.17, 2)),
+        trilinear=False, adaptive_sampling=True,
         trace=TraceOptions(max_steps=16384, method="pallas", tile=2048),
     )
     features = Features.for_metric(metric)
@@ -143,7 +147,7 @@ def main() -> int:
     # committed steps.
     from geodesic_raytracing_tpu.ops.pallas import raymarch
 
-    def divergence(tag, steps, dead, cost, tile):
+    def divergence(tag, steps, dead, cost, tile, ce):
         steps = np.asarray(steps)
         perm, _ = raymarch._bucket_partition(
             jnp.asarray(dead), None if cost is None
@@ -153,17 +157,32 @@ def main() -> int:
         s = np.pad(s, (0, n_pad - s.size))
         tiles = s.reshape(-1, tile)
         per_tile_max = tiles.max(axis=1)
-        ce = settings.trace.check_every
         executed = (np.ceil(per_tile_max / ce) * ce * tile).sum()
         committed = steps.sum()
-        print(f"{tag:10s} committed {committed/1e6:8.1f} Msteps   "
+        print(f"{tag:10s} tile {tile:5d} ce {ce:3d}  "
+              f"committed {committed/1e6:8.1f} Msteps   "
               f"executed {executed/1e6:8.1f}   waste x"
               f"{executed/max(committed,1):.2f}")
+        return executed
 
-    divergence("quarter", qstate.steps, np.asarray(qstate0.status != 0),
-               np.asarray(qcost), settings.trace.tile)
-    divergence("refine", rstate.steps, np.asarray(rstate0.status != 0),
-               np.asarray(rcost), settings.trace.tile)
+    for tile in (512, 1024, 2048, 4096):
+        for ce in (4, 8):
+            divergence("quarter", qstate.steps,
+                       np.asarray(qstate0.status != 0),
+                       np.asarray(qcost), tile, ce)
+            divergence("refine", rstate.steps,
+                       np.asarray(rstate0.status != 0),
+                       np.asarray(rcost), tile, ce)
+
+    if args.save_npz:
+        np.savez(args.save_npz,
+                 qsteps=np.asarray(qstate.steps),
+                 qdead=np.asarray(qstate0.status != 0),
+                 qcost=np.asarray(qcost),
+                 rsteps=np.asarray(rstate.steps),
+                 rdead=np.asarray(rstate0.status != 0),
+                 rcost=np.asarray(rcost))
+        print("saved", args.save_npz)
     return 0
 
 

@@ -161,3 +161,74 @@ def test_srgb_roundtrip():
     x = jnp.linspace(0.0, 1.0, 64)
     y = colour.srgb_to_lin(colour.lin_to_srgb(x))
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+def _checker_tex(H, W, seed=3):
+    rng = np.random.default_rng(seed)
+    # Mix smooth and wildly anisotropic uv fields.
+    yy, xx = np.meshgrid(np.linspace(0, 1, H), np.linspace(0, 1, W),
+                         indexing="ij")
+    tex = np.stack([xx + 0.02 * rng.random((H, W)),
+                    0.5 * yy + 0.3 * rng.random((H, W))], axis=-1)
+    return jnp.asarray(np.mod(tex, 1.0), dtype=jnp.float32)
+
+
+def test_probe_segments_single_segment_matches_legacy():
+    """probe_segments=((1/3, P),) must reproduce the default path exactly
+    (same coverage, same iteration count)."""
+    img = np.random.default_rng(0).random((64, 128, 3)).astype(np.float32)
+    b = bg.build_background(img)
+    H, W = 48, 64
+    tex = _checker_tex(H, W)
+    side = jnp.ones((H, W), jnp.int32)
+    ref = np.asarray(bg.sample_anisotropic(b, tex, side, max_probes=8))
+    got = np.asarray(bg.sample_anisotropic(
+        b, tex, side, max_probes=8, probe_segments=((1.0 / 3.0, 8),)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_probe_segments_full_coverage_matches_legacy_small_image():
+    """When n_pix <= 1024 the legacy path covers every pixel, so a single
+    full-coverage segment is identical."""
+    img = np.random.default_rng(1).random((64, 128, 3)).astype(np.float32)
+    b = bg.build_background(img)
+    H, W = 24, 32  # 768 <= 1024
+    tex = _checker_tex(H, W, seed=5)
+    side = jnp.zeros((H, W), jnp.int32)
+    ref = np.asarray(bg.sample_anisotropic(b, tex, side, max_probes=4))
+    got = np.asarray(bg.sample_anisotropic(
+        b, tex, side, max_probes=4, probe_segments=((1.0, 4),)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_probe_segments_uniform_field_invariant():
+    """A tiered schedule must preserve the constant-sky invariant."""
+    img = np.full((64, 128, 3), 0.4, np.float32)
+    b = bg.build_background(img)
+    H, W = 40, 52
+    rng = np.random.default_rng(0)
+    tex = jnp.asarray(rng.random((H, W, 2)), dtype=jnp.float32)
+    side = jnp.ones((H, W), jnp.int32)
+    out = np.asarray(bg.sample_anisotropic(
+        b, tex, side, max_probes=8,
+        probe_segments=((1.0 / 24, 8), (1.0 / 12, 4), (5.0 / 24, 2))))
+    np.testing.assert_allclose(out, 0.4, atol=1e-3)
+
+
+def test_probe_segments_budget_overblurs_not_aliases():
+    """Truncated pixels re-clamp through the EWA budget rule: output stays
+    finite, in range, and close to the untruncated result on smooth data."""
+    img = np.random.default_rng(2).random((64, 128, 3)).astype(np.float32)
+    b = bg.build_background(img)
+    H, W = 64, 64  # 4096 pixels: segments are real prefixes
+    tex = _checker_tex(H, W, seed=9)
+    side = jnp.ones((H, W), jnp.int32)
+    dense = np.asarray(bg.sample_anisotropic(b, tex, side, max_probes=8))
+    seg = np.asarray(bg.sample_anisotropic(
+        b, tex, side, max_probes=8,
+        probe_segments=((1.0 / 24, 8), (1.0 / 12, 4), (5.0 / 24, 2))))
+    assert np.isfinite(seg).all()
+    assert (seg >= 0).all() and (seg <= 1.0).all()
+    # The truncated pixels blur more but must stay within the local value
+    # range — compare distribution-level agreement.
+    assert abs(seg.mean() - dense.mean()) < 0.02
