@@ -41,7 +41,8 @@ def _flatten_params(params: dict):
 
 SUBLANES = 8  # f32 VPU sublane count: ray tiles are laid out (8, tile/8)
 
-N_COST_BUCKETS = 16  # quantisation of the cost key for the O(N) partition
+N_COST_BUCKETS = 32  # quantisation of the cost key for the O(N) partition
+COST_BUCKETS_PER_OCTAVE = 4.0  # log2 resolution of the cost key
 
 
 def _bucket_partition(dead: Array, cost: Array | None):
@@ -51,6 +52,13 @@ def _bucket_partition(dead: Array, cost: Array | None):
     Buckets: descending quantised cost for live rays, dead rays last; rank
     within a bucket via cumsum.  Returns ``(perm, dest)`` where
     ``packed = x[perm]`` and ``original = packed[dest]``.
+
+    The cost key is quantised on a LOG scale (quarter-octave buckets below
+    the frame maximum): step counts are log-distributed with a long tail,
+    and a linear scale let one 16k-step ray crush all typical 100-400-step
+    rays into a single bucket (measured on the production Kerr frame:
+    linear-16 packs to x1.36/x1.40 executed/committed tile waste, log-32 to
+    x1.26/x1.34, a true-step oracle to x1.04/x1.13).
     """
     from .. import packing
 
@@ -60,10 +68,10 @@ def _bucket_partition(dead: Array, cost: Array | None):
     else:
         n_buckets = N_COST_BUCKETS + 1
         cmax = jnp.maximum(jnp.max(jnp.where(dead, 0.0, cost)), 1.0)
-        q = jnp.clip(cost / cmax, 0.0, 1.0)
-        live_bucket = jnp.round((1.0 - q) * (N_COST_BUCKETS - 1)).astype(
-            jnp.int32
-        )
+        down = jnp.log2(cmax) - jnp.log2(jnp.maximum(cost, 1.0))
+        live_bucket = jnp.clip(
+            jnp.floor(down * COST_BUCKETS_PER_OCTAVE), 0, N_COST_BUCKETS - 1
+        ).astype(jnp.int32)
         bucket = jnp.where(dead, N_COST_BUCKETS, live_bucket)
     return packing.bucket_sort_perm(bucket, n_buckets)
 

@@ -596,13 +596,13 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
         k = nq
     else:
         k = max(min(nq, 1024), (int(nq * settings.refine_budget) // 8) * 8)
-    (qr, should, dest, rstate, rku, riquat, rf_in_x,
+    (qr, should, sel, dest, rstate, rku, riquat, rf_in_x,
      rcost) = _refine_setup_jit(metric, camera, params, settings, features,
                                 state, ku, iquat, k)
     rstate = _trace_phases(metric, rstate, params, settings, features, rcost,
                            rf_in_x)
     return _finish_jit(metric, rstate, rku, riquat, params, features, qr,
-                       should, dest, settings, k)
+                       should, sel, dest, settings, k)
 
 
 def _qcoords(settings: RenderSettings):
@@ -670,20 +670,22 @@ def _refine_setup_jit(metric: Metric, camera: cam.Camera, params,
     rstate, rku, riquat = _init_rays(metric, camera, params, settings,
                                      features, rcx, rcy, rkill)
     rf_in_x = jnp.abs(rstate.velocity[:, 0])
-    return qr, should, dest, rstate, rku, riquat, rf_in_x, rcost
+    return qr, should, sel, dest, rstate, rku, riquat, rf_in_x, rcost
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings", "k"))
 def _finish_jit(metric: Metric, rstate, rku, riquat, params,
                 features: Features, qr: RenderData, should: Array,
-                dest: Array, settings: RenderSettings, k: int) -> RenderData:
+                sel: Array, dest: Array, settings: RenderSettings,
+                k: int) -> RenderData:
     """Refine render-data + scatter-back + assembly, fused into one program.
 
-    The k traced blocks return to the (Hh, Wh) grid with ONE (nq, 8) gather:
-    all RenderData fields pack into f32 columns (statuses/steps are small
-    ints, exact in f32), so the per-field ``concat(part, filler)[dest]``
-    chain (21 gathers over nq rows) collapses to one gather per offset
-    part."""
+    The k traced blocks return to the (Hh, Wh) grid with ONE (k, 24) row
+    scatter: all RenderData fields pack into f32 columns (statuses/steps are
+    small ints, exact in f32), and the three offset parts share the block
+    ids, so 21 per-field gathers over nq rows collapse to one k-row scatter
+    (k < 0.4 nq: scattering the traced rows costs ~2.7x fewer rows than
+    gathering every block's)."""
     Wh, Hh = settings.width // 2, settings.height // 2
     nq = Wh * Hh
     rr = compute_render_data(metric, rstate, rku, params, features,
@@ -699,17 +701,16 @@ def _finish_jit(metric: Metric, rstate, rku, riquat, params,
     ], axis=-1)                                         # (3k, 8)
 
     ok = dest < k
-    destc = jnp.minimum(dest, k - 1)
 
     def grid(x):
         return x.reshape((Hh, Wh) + x.shape[1:])
 
-    # All three offset parts share destc — gather them as ONE (nq, 24) row
-    # gather instead of three (nq, 8) ones (gathers cost per row).
-    wide = jnp.concatenate(
-        [packed[0:k], packed[k:2 * k], packed[2 * k:3 * k]], axis=1
-    )[destc]
-    wide = jnp.where(ok[:, None], wide, 0.0)
+    wide = jnp.zeros((nq, 24), jnp.float32).at[sel].set(
+        jnp.concatenate(
+            [packed[0:k], packed[k:2 * k], packed[2 * k:3 * k]], axis=1
+        ),
+        indices_are_sorted=False, unique_indices=True,
+    )
 
     def part(i):
         g = wide[:, i * 8:(i + 1) * 8]

@@ -97,7 +97,7 @@ def main() -> int:
         return pl._refine_setup_jit(metric, camera, params, settings,
                                     features, qstate, ku, iquat, k)
 
-    (qr, should, dest, rstate0, rku, riquat, rf_in_x,
+    (qr, should, sel, dest, rstate0, rku, riquat, rf_in_x,
      rcost) = stage_rsetup()
 
     def stage_rtrace():
@@ -108,7 +108,7 @@ def main() -> int:
 
     def stage_finish():
         return pl._finish_jit(metric, rstate, rku, riquat, params, features,
-                              qr, should, dest, settings, k)
+                              qr, should, sel, dest, settings, k)
 
     rdata = stage_finish()
 

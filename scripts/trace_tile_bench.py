@@ -1,0 +1,103 @@
+"""Sync-isolated qtrace/rtrace wall time across Pallas tile sizes.
+
+The offline divergence model (stage_bench.py --save-npz + the analysis in
+BENCH_NOTES) predicts executed tile-steps per (tile, packing); this measures
+the real kernel, which adds per-grid-step overheads the model ignores.
+
+Usage:
+    python scripts/trace_tile_bench.py [--tiles 512,1024,2048] [--frames N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+
+def sync(x):
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    return np.asarray(leaf.reshape(-1)[:1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--tiles", default="512,1024,2048")
+    ap.add_argument("--ce", default="8",
+                    help="comma list of check_every values to sweep")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from geodesic_raytracing_tpu import metrics
+    from geodesic_raytracing_tpu.camera import Camera
+    from geodesic_raytracing_tpu.ops.integrate import Features, TraceOptions
+    from geodesic_raytracing_tpu.render import pipeline as pl
+
+    W, H = 1920, 1080
+    metric = metrics.get_metric("kerr_boyer")
+    params = metric.params()
+    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    settings = pl.RenderSettings(
+        width=W, height=H, anisotropy=8,
+        probe_segments=((0.072, 8), (0.11, 4), (0.17, 2)),
+        trilinear=False, adaptive_sampling=True,
+        trace=TraceOptions(max_steps=16384, method="pallas", tile=2048),
+    )
+    features = Features.for_metric(metric)
+    nq = (W // 2) * (H // 2)
+
+    pw = max(W // settings.prepass_scale, 4)
+    ph = max(H // settings.prepass_scale, 4)
+    psettings = dataclasses.replace(settings, width=pw, height=ph,
+                                    adaptive_sampling=False)
+    dead, psteps = pl._prepass_dead_map(metric, camera, params, psettings,
+                                        features)
+    qstate0, ku, iquat, f_in_x, qcost = pl._quarter_setup_jit(
+        metric, camera, params, settings, features, dead, psteps)
+    qstate = pl._trace_phases(metric, qstate0, params, settings, features,
+                              qcost, f_in_x)
+    k = max(min(nq, 1024), (int(nq * settings.refine_budget) // 8) * 8)
+    (qr, should, sel, dest, rstate0, rku, riquat, rf_in_x,
+     rcost) = pl._refine_setup_jit(metric, camera, params, settings,
+                                   features, qstate, ku, iquat, k)
+
+    for tile in (int(t) for t in args.tiles.split(",")):
+        for ce in (int(c) for c in args.ce.split(",")):
+            tsettings = dataclasses.replace(
+                settings, trace=dataclasses.replace(
+                    settings.trace, tile=tile, check_every=ce))
+
+            def qtrace():
+                return pl._trace_phases(metric, qstate0, params, tsettings,
+                                        features, qcost, f_in_x)
+
+            def rtrace():
+                return pl._trace_phases(metric, rstate0, params, tsettings,
+                                        features, rcost, rf_in_x)
+
+            for name, fn in (("qtrace", qtrace), ("rtrace", rtrace)):
+                sync(fn())  # compile + settle
+                ts = []
+                for _ in range(args.frames):
+                    sync(fn())
+                    t0 = time.perf_counter()
+                    sync(fn())
+                    ts.append(time.perf_counter() - t0)
+                print(f"tile {tile:5d} ce {ce:3d} {name} "
+                      f"{float(np.median(ts)):7.3f} s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
