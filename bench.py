@@ -49,7 +49,8 @@ def main() -> int:
         probe_segments=((0.072, 8), (0.11, 4), (0.17, 2)),
         trilinear=False,
         adaptive_sampling=True,  # reference default (main.cpp:1152)
-        trace=TraceOptions(max_steps=16384, method="pallas", tile=2048),
+        trace=TraceOptions(max_steps=16384, method="pallas", tile=2048,
+                           check_every=16),
     )
     features = Features.for_metric(metric)
 

@@ -150,12 +150,18 @@ def linear_val(value, min_val, max_val, at_min, at_max):
     return at_min + (at_max - at_min) * mixd
 
 
-def acceleration_to_precision(acc: Array, max_acceleration, w_v) -> tuple[Array, Array]:
+def acceleration_to_precision(acc: Array, max_acceleration, w_v,
+                              udiv=None) -> tuple[Array, Array]:
     """cl.cl:3400-3429 — error estimate and ideal next step from acceleration.
 
     ``acc`` is component-first (4, N).  Returns ``(diff, next_ds)`` of (N,).
+    ``udiv``: pass ``max(weights)`` as a Python scalar when the weights are
+    compile-time constants — the fallback ``jnp.max`` is a full cross-lane
+    reduction to a scalar, which inside the Pallas step loop serialises the
+    vector pipeline EVERY step (~40% of small-tile kernel time).
     """
-    udiv = jnp.max(w_v)
+    if udiv is None:
+        udiv = jnp.max(w_v)
     wa = acc * w_v.reshape((4,) + (1,) * (acc.ndim - 1))
     err_scale = jnp.sqrt(jnp.sum(wa * wa, axis=0)) * 0.01 / udiv
     err = max_acceleration
@@ -216,7 +222,8 @@ def init_ray_state(metric: Metric, position: Array, velocity: Array, params,
     w_v = jnp.array(metric.precision_weights(), dtype=pos.dtype)
     if metric.config.adaptive_precision:
         _, next_ds = acceleration_to_precision(
-            acc, features.max_acceleration_change, w_v
+            acc, features.max_acceleration_change, w_v,
+            udiv=float(max(metric.precision_weights())),
         )
     else:
         next_ds = jnp.full((n,), 1e-5, dtype=pos.dtype)
@@ -328,7 +335,9 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
         next_ds = state.next_ds
         if adaptive:
             err = features.max_acceleration_change
-            diff, ideal_ds = acceleration_to_precision(nacc, err, w_v)
+            diff, ideal_ds = acceleration_to_precision(
+                nacc, err, w_v, udiv=float(max(w_v_const))
+            )
             # calculate_ds_error (cl.cl:3431-3456)
             cand = 0.99 * ds * jnp.clip(ideal_ds / ds, 0.3, 2.0)
             cand = jnp.maximum(cand, features.min_step)

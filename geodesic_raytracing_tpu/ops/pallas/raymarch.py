@@ -122,44 +122,23 @@ def pack_tiles(state: RayState, tile: int,
     big = jnp.concatenate([
         big, jnp.broadcast_to(fills, (n_pad - n, 17))
     ], axis=0)
-    cols = big.T  # (17, n_pad) component-first
-
-    def pack_v(sl):  # rows -> (n_tiles, 4, 8, lanes)
-        return cols[sl].reshape(4, n_tiles, SUBLANES,
-                                lanes).transpose(1, 0, 2, 3)
-
-    def pack_s(row, dtype=None):  # row -> (n_tiles, 8, lanes)
-        x = cols[row].reshape(n_tiles, SUBLANES, lanes)
-        return x if dtype is None else x.astype(dtype)
-
-    packed = (
-        pack_v(slice(0, 4)), pack_v(slice(4, 8)), pack_v(slice(8, 12)),
-        pack_s(12), pack_s(13),
-        pack_s(14, jnp.int32), pack_s(15, jnp.int32),
-        pack_s(16),
-    )
+    # ONE (n_tiles, 17, 8, lanes) operand: every separate kernel buffer
+    # costs a fixed DMA latency per grid step (17 in + 16 out buffers
+    # measured ~60-70 us/tile of pure overhead — the reason small tiles
+    # lost despite better packing), so the whole ray state rides as a
+    # single block.  Rows: pos 0-3, vel 4-7, acc 8-11, next_ds 12, rdl 13,
+    # status 14, steps 15, f_in_x 16 (small ints exact as f32).
+    packed = big.T.reshape(17, n_tiles, SUBLANES, lanes).transpose(1, 0, 2, 3)
     return packed, inv_perm, n
 
 
 def unpack_tiles(outs, inv_perm: Array, n: int) -> RayState:
-    """Inverse of :func:`pack_tiles` over the kernel's output tuple —
-    a single (N, 16) row gather, like the pack side."""
-    opos, ovel, oacc, ods, ordl, ostatus, osteps = outs
-    n_tiles, _, sub, lanes = opos.shape
+    """Inverse of :func:`pack_tiles` over the kernel's single (n_tiles, 16,
+    8, lanes) output block — a single (N, 16) row gather, like the pack
+    side."""
+    n_tiles, rows, sub, lanes = outs.shape
     n_pad = n_tiles * sub * lanes
-
-    def flat_v(x):  # (n_tiles, 4, 8, lanes) -> (n_pad, 4)
-        return x.transpose(1, 0, 2, 3).reshape(4, n_pad).T
-
-    def flat_s(x):
-        return x.reshape(n_pad, 1)
-
-    big = jnp.concatenate([
-        flat_v(opos), flat_v(ovel), flat_v(oacc),
-        flat_s(ods), flat_s(ordl),
-        flat_s(ostatus.astype(jnp.float32)),
-        flat_s(osteps.astype(jnp.float32)),
-    ], axis=1)[:n][inv_perm]
+    big = outs.transpose(1, 0, 2, 3).reshape(rows, n_pad).T[:n][inv_perm]
 
     return RayState(
         position=big[:, 0:4],
@@ -174,41 +153,34 @@ def unpack_tiles(outs, inv_perm: Array, n: int) -> RayState:
 
 def launch(metric: Metric, packed, params, features: Features,
            opts: TraceOptions, interpret: bool = False):
-    """The pallas_call itself over pre-packed tile operands."""
-    pos_p, vel_p, acc_p, next_ds, rdl, status, steps, finx = packed
-    n_tiles, _, _, lanes = pos_p.shape
+    """The pallas_call itself over the single pre-packed tile operand.
+
+    One input block (1, 17, 8, lanes) and one output block (1, 16, 8,
+    lanes) per grid step: each separate buffer costs a fixed DMA latency
+    per tile, and with 33 buffers that overhead (~60-70 us/tile) dominated
+    small tiles."""
+    n_tiles, _, _, lanes = packed.shape
 
     pkeys, pvec = _flatten_params(params)
     fvec = jnp.stack([jnp.asarray(v, dtype=jnp.float32) for v in features])
 
     grid = (n_tiles,)
 
-    def vspec():
-        return pl.BlockSpec((1, 4, SUBLANES, lanes), lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def sspec():
-        return pl.BlockSpec((1, SUBLANES, lanes), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def kernel(pvec_ref, fvec_ref,
-               pos_ref, vel_ref, acc_ref, ds_ref, rdl_ref, status_ref,
-               steps_ref, finx_ref,
-               opos_ref, ovel_ref, oacc_ref, ods_ref, ordl_ref, ostatus_ref,
-               osteps_ref):
+    def kernel(pvec_ref, fvec_ref, in_ref, out_ref):
         kparams = {k: pvec_ref[i] for i, k in enumerate(pkeys)}
         kfeatures = Features(*(fvec_ref[i] for i in range(len(features))))
 
+        blk = in_ref[0]  # (17, 8, lanes)
         st0 = _StateT(
-            position=pos_ref[0],
-            velocity=vel_ref[0],
-            acceleration=acc_ref[0],
-            next_ds=ds_ref[0],
-            running_dlambda_dnew=rdl_ref[0],
-            status=status_ref[0],
-            steps=steps_ref[0],
+            position=blk[0:4],
+            velocity=blk[4:8],
+            acceleration=blk[8:12],
+            next_ds=blk[12],
+            running_dlambda_dnew=blk[13],
+            status=blk[14].astype(jnp.int32),
+            steps=blk[15].astype(jnp.int32),
         )
-        step = integrate.make_step_fn(metric, kfeatures, opts, finx_ref[0])
+        step = integrate.make_step_fn(metric, kfeatures, opts, blk[16])
 
         # The any(active) exit test is a cross-lane reduction; checking it
         # every CHECK_EVERY steps amortises its cost (terminated rays are
@@ -222,26 +194,24 @@ def launch(metric: Metric, packed, params, features: Features,
 
         def body(carry):
             i, s = carry
+            # Mosaic supports only unroll=1 or full unroll of the inner
+            # fori_loop; opts.unroll > 1 requests the full unroll (removes
+            # per-step loop bookkeeping, lets the scheduler pipeline across
+            # steps, at the cost of a CHECK_EVERY-times larger program).
             s = jax.lax.fori_loop(
-                0, CHECK_EVERY, lambda _, ss: step(ss, kparams), s
+                0, CHECK_EVERY, lambda _, ss: step(ss, kparams), s,
+                unroll=CHECK_EVERY if int(opts.unroll) > 1 else 1,
             )
             return i + 1, s
 
         _, fin = jax.lax.while_loop(cond, body, (jnp.int32(0), st0))
 
-        opos_ref[0] = fin.position
-        ovel_ref[0] = fin.velocity
-        oacc_ref[0] = fin.acceleration
-        ods_ref[0] = fin.next_ds
-        ordl_ref[0] = fin.running_dlambda_dnew
-        ostatus_ref[0] = fin.status
-        osteps_ref[0] = fin.steps
-
-    def vshape(dtype):
-        return jax.ShapeDtypeStruct((n_tiles, 4, SUBLANES, lanes), dtype)
-
-    def sshape(dtype):
-        return jax.ShapeDtypeStruct((n_tiles, SUBLANES, lanes), dtype)
+        out_ref[0] = jnp.concatenate([
+            fin.position, fin.velocity, fin.acceleration,
+            fin.next_ds[None], fin.running_dlambda_dnew[None],
+            fin.status.astype(jnp.float32)[None],
+            fin.steps.astype(jnp.float32)[None],
+        ], axis=0)
 
     return pl.pallas_call(
         kernel,
@@ -249,18 +219,16 @@ def launch(metric: Metric, packed, params, features: Features,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params vector
             pl.BlockSpec(memory_space=pltpu.SMEM),  # features vector
-            vspec(), vspec(), vspec(),
-            sspec(), sspec(), sspec(), sspec(), sspec(),
+            pl.BlockSpec((1, 17, SUBLANES, lanes), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=(vspec(), vspec(), vspec(),
-                   sspec(), sspec(), sspec(), sspec()),
-        out_shape=(
-            vshape(pos_p.dtype), vshape(vel_p.dtype), vshape(acc_p.dtype),
-            sshape(next_ds.dtype), sshape(rdl.dtype),
-            sshape(status.dtype), sshape(steps.dtype),
-        ),
+        out_specs=pl.BlockSpec((1, 16, SUBLANES, lanes),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 16, SUBLANES, lanes),
+                                       jnp.float32),
         interpret=interpret,
-    )(pvec, fvec, pos_p, vel_p, acc_p, next_ds, rdl, status, steps, finx)
+    )(pvec, fvec, packed)
 
 
 def trace_rays_pallas(metric: Metric, state: RayState, params,

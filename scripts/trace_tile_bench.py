@@ -32,6 +32,8 @@ def main() -> int:
     ap.add_argument("--tiles", default="512,1024,2048")
     ap.add_argument("--ce", default="8",
                     help="comma list of check_every values to sweep")
+    ap.add_argument("--unroll", default="1",
+                    help="comma list of inner-loop unroll factors")
     args = ap.parse_args()
 
     import jax
@@ -72,11 +74,18 @@ def main() -> int:
      rcost) = pl._refine_setup_jit(metric, camera, params, settings,
                                    features, qstate, ku, iquat, k)
 
-    for tile in (int(t) for t in args.tiles.split(",")):
-        for ce in (int(c) for c in args.ce.split(",")):
+    import itertools
+
+    combos = itertools.product(
+        (int(t) for t in args.tiles.split(",")),
+        (int(c) for c in args.ce.split(",")),
+        (int(u) for u in args.unroll.split(",")),
+    )
+    for tile, ce, unroll in combos:
             tsettings = dataclasses.replace(
                 settings, trace=dataclasses.replace(
-                    settings.trace, tile=tile, check_every=ce))
+                    settings.trace, tile=tile, check_every=ce,
+                    unroll=unroll))
 
             def qtrace():
                 return pl._trace_phases(metric, qstate0, params, tsettings,
@@ -94,7 +103,7 @@ def main() -> int:
                     t0 = time.perf_counter()
                     sync(fn())
                     ts.append(time.perf_counter() - t0)
-                print(f"tile {tile:5d} ce {ce:3d} {name} "
+                print(f"tile {tile:5d} ce {ce:3d} unroll {unroll} {name} "
                       f"{float(np.median(ts)):7.3f} s", flush=True)
     return 0
 
