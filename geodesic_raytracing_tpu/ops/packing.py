@@ -21,15 +21,21 @@ def bucket_sort_perm(bucket: Array, n_buckets: int) -> tuple[Array, Array]:
     ``bucket``: (N,) int32 in [0, n_buckets).  Returns ``(perm, dest)``:
     ``x[perm]`` is grouped by bucket (stable within a bucket) and
     ``x_grouped[dest]`` restores the original order.
+
+    All per-bucket ranks come from ONE (n_buckets, N) cumsum — a single
+    vectorised scan instead of n_buckets sequential (N,) cumsums, so the
+    bucket count can grow (finer cost keys) without adding scan passes.
     """
     n = bucket.shape[0]
-    dest = jnp.zeros((n,), dtype=jnp.int32)
-    offset = jnp.int32(0)
-    for k in range(n_buckets):
-        in_k = bucket == k
-        rank = jnp.cumsum(in_k.astype(jnp.int32)) - 1
-        dest = jnp.where(in_k, offset + rank, dest)
-        offset = offset + jnp.sum(in_k.astype(jnp.int32))
+    onehot = bucket[None, :] == jnp.arange(n_buckets, dtype=bucket.dtype)[
+        :, None
+    ]
+    ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=1)  # (B, N)
+    counts = ranks[:, -1]
+    offsets = jnp.cumsum(counts) - counts  # exclusive prefix
+    dest = jnp.sum(
+        jnp.where(onehot, offsets[:, None] + ranks - 1, 0), axis=0
+    ).astype(jnp.int32)
     perm = jnp.zeros((n,), dtype=jnp.int32).at[dest].set(
         jnp.arange(n, dtype=jnp.int32)
     )
