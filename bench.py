@@ -26,6 +26,7 @@ def main() -> int:
     from geodesic_raytracing_tpu.ops.integrate import Features, TraceOptions
     from geodesic_raytracing_tpu.render import background as bg
     from geodesic_raytracing_tpu.render.pipeline import (
+        RefineBudgetController,
         RenderSettings,
         render_frame,
     )
@@ -56,9 +57,13 @@ def main() -> int:
 
     import jax.numpy as jnp
 
+    # Demand-sized refinement (the reference dispatches exactly its atomic
+    # refinement count; the controller re-specialises k across frames).
+    controller = RefineBudgetController()
+
     def frame(fetch: bool = False):
         img = render_frame(metric, camera, params, backgrounds, settings,
-                           features)
+                           features, controller=controller)
         if fetch:
             return np.asarray(img)
         # Force the computation with a scalar readback (deferred: the caller
@@ -84,7 +89,11 @@ def main() -> int:
     # reference overlaps frames the same way (double-buffered render_state,
     # main.cpp:1463-1510); dispatch is async so a per-frame sync would only
     # measure tunnel latency on top of device time.
-    float(frame())  # steady-state warmup, drained
+    # Warmup until the budget controller settles (its bucket change
+    # recompiles the refine chain; that compile must not land in the timed
+    # region — the reference likewise benches steady-state frames).
+    for _ in range(4):
+        float(frame())
     n = max(frames, 4)
     t0 = time.perf_counter()
     sums = [frame() for _ in range(n)]

@@ -192,15 +192,19 @@ def main(argv=None) -> int:
         # (main.cpp:2864-2871; the string must not change).  Sync via a tiny
         # device reduction — block_until_ready is a no-op over the axon
         # tunnel and a full-frame fetch would bill ~1 s of transfer.
+        from .render.pipeline import RefineBudgetController
+
+        controller = RefineBudgetController()
+
         def sync(im):
             return float(jnp.sum(im[::128, ::128]))
 
         sync(render_frame(metric, cam, params, backgrounds, settings,
-                          features))
+                          features, controller=controller))
         for _ in range(args.frames):
             t0 = time.perf_counter()
             sync(render_frame(metric, cam, params, backgrounds, settings,
-                              features))
+                              features, controller=controller))
             ms = (time.perf_counter() - t0) * 1e3
             print(f"Frametime Elapsed: {ms:f}")
         return 0

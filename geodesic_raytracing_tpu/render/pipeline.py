@@ -560,18 +560,83 @@ def _prepass_dead_map(metric: Metric, camera: cam.Camera, params,
     return dead, steps
 
 
+class RefineBudgetController:
+    """Demand-proportional refinement budgeting across a frame stream.
+
+    The reference sizes its refinement dispatch by an atomic counter —
+    exactly the frame's demand (cl.cl:5294, dispatched main.cpp:2478-2510).
+    Static TPU shapes can't do that per frame, so the demand fraction is
+    quantised to a few buckets and the pipeline re-specialises via jit
+    recompile when the bucket changes — the same dynamic->static program
+    swap the reference uses for metric parameters
+    (metric_manager.hpp:172-219).
+
+    Feedback never blocks the pipeline: the demand scalar of frame t starts
+    an async device->host copy and is consulted ``latency`` frames later
+    (the axon tunnel costs ~105 ms per synchronous read).  The budget grows
+    immediately when demand rises (quality first: over-budget blocks fall
+    back to sphere interpolation) and shrinks only after ``down_patience``
+    consecutive low frames (hysteresis against recompile thrash).
+    """
+
+    BUCKETS = (1 / 16, 1 / 8, 3 / 16, 1 / 4, 3 / 8, 1 / 2, 3 / 4, 1.0)
+
+    def __init__(self, margin: float = 1.3, latency: int = 2,
+                 down_patience: int = 3):
+        self._pending: list = []
+        self._margin = margin
+        self._latency = latency
+        self._down_patience = down_patience
+        self._down = 0
+        self._current: float | None = None
+
+    def fraction(self, cap: float) -> float:
+        """The refine budget to use for the next frame (<= cap)."""
+        if self._current is None:
+            return cap
+        return min(self._current, cap)
+
+    def observe(self, demand_scalar) -> None:
+        """Feed the measured demand fraction (a device scalar) of the frame
+        just issued; consumes matured entries without blocking on fresh
+        ones."""
+        try:
+            demand_scalar.copy_to_host_async()
+        except AttributeError:
+            pass  # non-jax input (tests)
+        self._pending.append(demand_scalar)
+        while len(self._pending) > self._latency:
+            self._update(float(np.asarray(self._pending.pop(0))))
+
+    def _update(self, demand: float) -> None:
+        want = demand * self._margin
+        target = next((b for b in self.BUCKETS if b >= want), 1.0)
+        if self._current is None or target > self._current:
+            self._current = target
+            self._down = 0
+        elif target < self._current:
+            self._down += 1
+            if self._down >= self._down_patience:
+                self._current = target
+                self._down = 0
+        else:
+            self._down = 0
+
+
 def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
-                         settings: RenderSettings, features: Features
+                         settings: RenderSettings, features: Features,
+                         controller: RefineBudgetController | None = None,
                          ) -> RenderData:
     """Quarter-density trace + error-driven refinement + optional prepass.
 
     The reference's atomic variable-length refinement list (cl.cl:5294)
     becomes a budgeted top-k block batch (``refine_budget``; 1.0 = every
-    block, masked).  The frame is exactly 4-6 XLA programs chained from the
-    host — prepass, quarter setup, quarter trace (Pallas), refine setup,
-    refine trace (Pallas), finish — because every un-jitted jnp glue op is
-    its own tiny program, and at ~50 ms of axon-tunnel issue latency each
-    the glue dominated the frame before fusion.
+    block, masked), optionally demand-sized across frames by a
+    :class:`RefineBudgetController`.  The frame is exactly 4-6 XLA programs
+    chained from the host — prepass, quarter setup, quarter trace (Pallas),
+    refine setup, refine trace (Pallas), finish — because every un-jitted
+    jnp glue op is its own tiny program, and at ~50 ms of axon-tunnel issue
+    latency each the glue dominated the frame before fusion.
     """
     W, H = settings.width, settings.height
     assert W % 2 == 0 and H % 2 == 0, "adaptive sampling needs even dims"
@@ -592,13 +657,18 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
     state = _trace_phases(metric, state, params, settings, features, qcost,
                           f_in_x)
 
-    if settings.refine_budget >= 1.0:
+    frac = settings.refine_budget
+    if controller is not None:
+        frac = controller.fraction(settings.refine_budget)
+    if frac >= 1.0:
         k = nq
     else:
-        k = max(min(nq, 1024), (int(nq * settings.refine_budget) // 8) * 8)
-    (qr, should, sel, dest, rstate, rku, riquat, rf_in_x,
+        k = max(min(nq, 1024), (int(nq * frac) // 8) * 8)
+    (qr, should, demand, sel, dest, rstate, rku, riquat, rf_in_x,
      rcost) = _refine_setup_jit(metric, camera, params, settings, features,
                                 state, ku, iquat, k)
+    if controller is not None:
+        controller.observe(demand)
     rstate = _trace_phases(metric, rstate, params, settings, features, rcost,
                            rf_in_x)
     return _finish_jit(metric, rstate, rku, riquat, params, features, qr,
@@ -659,6 +729,9 @@ def _refine_setup_jit(metric: Metric, camera: cam.Camera, params,
     ).astype(jnp.float32).reshape(-1)
 
     should, sel, dest = _select_refine_blocks(qg, settings, k)
+    # Demand fraction for the budget controller — computed here so it costs
+    # no extra program dispatch.
+    demand = jnp.mean(should.astype(jnp.float32))
     sflat = should.reshape(-1)[sel]
     qcx, qcy = _qcoords(settings)
     scx, scy = qcx[sel], qcy[sel]
@@ -670,7 +743,7 @@ def _refine_setup_jit(metric: Metric, camera: cam.Camera, params,
     rstate, rku, riquat = _init_rays(metric, camera, params, settings,
                                      features, rcx, rcy, rkill)
     rf_in_x = jnp.abs(rstate.velocity[:, 0])
-    return qr, should, sel, dest, rstate, rku, riquat, rf_in_x, rcost
+    return qr, should, demand, sel, dest, rstate, rku, riquat, rf_in_x, rcost
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "settings", "k"))
@@ -888,18 +961,21 @@ def shade(rdata: RenderData, backgrounds: bg.Background,
 
 def render_frame(metric: Metric, camera: cam.Camera, params,
                  backgrounds: bg.Background, settings: RenderSettings,
-                 features: Features | None = None) -> Array:
+                 features: Features | None = None,
+                 controller: RefineBudgetController | None = None) -> Array:
     """Trace and shade a full frame.  Returns (H, W, 3) linear RGB.
 
     The adaptive path is orchestrated from the host as a handful of separate
     XLA programs (prepass / quarter / refine / shade) — see
     ``_traced_rdata_for_pixels`` for why they are not fused into one.
+    ``controller``: optional :class:`RefineBudgetController` for
+    demand-sized refinement across a frame stream.
     """
     if features is None:
         features = Features.for_metric(metric)
     if settings.adaptive_sampling:
         rdata = render_data_adaptive(metric, camera, params, settings,
-                                     features)
+                                     features, controller=controller)
         return _shade_jit(rdata, backgrounds, settings)
     return _render_frame_jit(metric, camera, params, backgrounds, settings,
                              features)

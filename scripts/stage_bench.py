@@ -97,7 +97,7 @@ def main() -> int:
         return pl._refine_setup_jit(metric, camera, params, settings,
                                     features, qstate, ku, iquat, k)
 
-    (qr, should, sel, dest, rstate0, rku, riquat, rf_in_x,
+    (qr, should, _demand, sel, dest, rstate0, rku, riquat, rf_in_x,
      rcost) = stage_rsetup()
 
     def stage_rtrace():

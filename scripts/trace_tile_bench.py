@@ -70,7 +70,7 @@ def main() -> int:
     qstate = pl._trace_phases(metric, qstate0, params, settings, features,
                               qcost, f_in_x)
     k = max(min(nq, 1024), (int(nq * settings.refine_budget) // 8) * 8)
-    (qr, should, sel, dest, rstate0, rku, riquat, rf_in_x,
+    (qr, should, _demand, sel, dest, rstate0, rku, riquat, rf_in_x,
      rcost) = pl._refine_setup_jit(metric, camera, params, settings,
                                    features, qstate, ku, iquat, k)
 

@@ -76,3 +76,53 @@ def test_prepass_kill_upsample_semantics():
     # Interior must match exactly; the border row/column may differ (the
     # upsample clamps instead of declaring out-of-bounds un-killable).
     assert (got[1:-1, 1:-1] == want[1:-1, 1:-1]).all()
+
+
+def test_refine_budget_controller_logic():
+    """Bucket selection: grow immediately, shrink only with patience."""
+    from geodesic_raytracing_tpu.render.pipeline import RefineBudgetController
+
+    c = RefineBudgetController(margin=1.3, latency=0, down_patience=3)
+    assert c.fraction(0.375) == 0.375  # no data yet -> the cap
+    c.observe(np.float32(0.10))  # want 0.13 -> bucket 3/16
+    assert c.fraction(0.375) == 3 / 16
+    c.observe(np.float32(0.40))  # want 0.52 -> bucket 3/4, grows at once
+    assert c.fraction(0.375) == 0.375  # capped
+    assert c.fraction(1.0) == 3 / 4
+    # shrink needs down_patience consecutive low frames
+    c.observe(np.float32(0.05))
+    c.observe(np.float32(0.05))
+    assert c.fraction(1.0) == 3 / 4
+    c.observe(np.float32(0.05))
+    assert c.fraction(1.0) == 1 / 8
+    # demand above every bucket clamps to 1.0
+    c2 = RefineBudgetController(latency=0)
+    c2.observe(np.float32(0.9))
+    assert c2.fraction(1.0) == 1.0
+
+
+def test_refine_budget_controller_render_stream():
+    """A controlled frame stream renders identically to the fixed budget
+    when the settled bucket covers the frame's demand."""
+    from geodesic_raytracing_tpu.render.pipeline import RefineBudgetController
+
+    metric = metrics.get_metric("schwarzschild")
+    params = metric.params()
+    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    b = bg.checker_background(64, 128)
+    settings = pl.RenderSettings(width=64, height=64, anisotropy=2,
+                                 adaptive_sampling=True,
+                                 trace=TraceOptions(max_steps=2048))
+    ref = np.asarray(pl.render_frame(metric, camera, params, b, settings))
+
+    c = RefineBudgetController(latency=0)
+    last = None
+    for _ in range(3):
+        last = pl.render_frame(metric, camera, params, b, settings,
+                               controller=c)
+    assert c.fraction(1.0) in c.BUCKETS
+    # The settled render must stay finite and close to the full-budget one
+    # (identical when demand fits the bucket; interpolated otherwise).
+    last = np.asarray(last)
+    assert np.isfinite(last).all()
+    assert np.abs(last - ref).mean() < 0.01
