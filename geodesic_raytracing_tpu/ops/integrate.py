@@ -163,7 +163,12 @@ def acceleration_to_precision(acc: Array, max_acceleration, w_v,
     if udiv is None:
         udiv = jnp.max(w_v)
     wa = acc * w_v.reshape((4,) + (1,) * (acc.ndim - 1))
-    err_scale = jnp.sqrt(jnp.sum(wa * wa, axis=0)) * 0.01 / udiv
+    # The clamp keeps sqrt off exact zero: in exactly-flat regions
+    # (Alcubierre outside the bubble) acc == 0 and d/dx sqrt(x)|_0 = inf
+    # turns every reverse-mode gradient into NaN (inf * 0).  Forward values
+    # are unchanged (the diff floor below dominates 1e-15).
+    err_scale = jnp.sqrt(jnp.maximum(jnp.sum(wa * wa, axis=0), 1e-30)) \
+        * 0.01 / udiv
     err = max_acceleration
     diff = err_scale * _PRECISION_SCALE
     floor = err * _PRECISION_SCALE / (_MAX_TIMESTEP * _MAX_TIMESTEP)

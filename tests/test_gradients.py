@@ -118,3 +118,90 @@ def test_grad_wrt_camera_pose():
     )
     assert np.isfinite(float(g))
     np.testing.assert_allclose(float(g), float(fd), rtol=0.15, atol=1e-4)
+
+
+def test_grad_wrt_alcubierre_velocity_matches_fd():
+    """North-star config 5: gradients through the warp-drive metric
+    (grads w.r.t. the bubble velocity parameter vs finite differences).
+
+    Also a regression test for the sqrt(0) NaN in the step controller's
+    error norm: Alcubierre is EXACTLY flat outside the bubble (acc == 0),
+    which used to NaN every reverse-mode gradient.
+
+    The adaptive integrator's committed step SEQUENCE is discontinuous in
+    params, so FD is only meaningful for rays whose step count is stable
+    under the probe; the test validates per-ray on the FD-consistent rays
+    (two probe sizes agreeing) and requires a quorum.
+    """
+    m = metrics.get_metric("alcubierre")
+    feats = Features.for_metric(m)
+    n = 6
+    # Rays passing near (but outside) the bubble wall at the origin.
+    off = np.linspace(2.5, 4.0, n)
+    pos = jnp.asarray(
+        np.stack([np.zeros(n), np.full(n, 8.0), off, np.zeros(n)], -1)
+        .astype(np.float32)
+    )
+    vel = jnp.asarray(
+        np.stack([np.ones(n), -np.ones(n), np.zeros(n), np.zeros(n)], -1)
+        .astype(np.float32)
+    )
+    base = dict(m.params())
+
+    def endpoints(v):
+        p = dict(base)
+        p["velocity"] = v
+        st = init_ray_state(m, pos, vel, p, feats)
+        fin = trace_rays(m, st, p, features=feats, opts=OPTS)
+        return fin.position[:, 2]
+
+    g = np.asarray(jax.jacrev(endpoints)(jnp.float32(2.0)))
+    assert np.isfinite(g).all()
+
+    def fd(eps):
+        hi = np.asarray(endpoints(jnp.float32(2.0 + eps)))
+        lo = np.asarray(endpoints(jnp.float32(2.0 - eps)))
+        return (hi - lo) / (2 * eps)
+
+    fd1, fd2 = fd(1e-2), fd(5e-3)
+    stable = np.abs(fd1 - fd2) <= 0.05 * np.maximum(
+        np.abs(fd1), np.abs(fd2)
+    )
+    assert stable.sum() >= 2, f"no FD-stable rays ({fd1} vs {fd2})"
+    np.testing.assert_allclose(g[stable], fd1[stable], rtol=0.15)
+
+
+def test_grad_wrt_double_unequal_kerr_mass_matches_fd():
+    """North-star config 5: gradients through the double unequal Kerr
+    superposition w.r.t. one hole's mass."""
+    m = metrics.get_metric("double_unequal_kerr")
+    feats = Features.for_metric(m)
+    n = 6
+    ang = np.linspace(0.5, 0.9, n)
+    pos = jnp.asarray(
+        np.tile([0.0, 10.0, np.pi / 2, 0.0], (n, 1)).astype(np.float32)
+    )
+    vel = jnp.asarray(
+        np.stack(
+            [np.ones(n), -np.cos(ang), np.zeros(n), np.sin(ang) / 10.0], -1
+        ).astype(np.float32)
+    )
+    base = dict(m.params())
+
+    def loss(m1):
+        p = dict(base)
+        p["m1"] = m1
+        st = init_ray_state(m, pos, vel, p, feats)
+        fin = trace_rays(m, st, p, features=feats, opts=OPTS)
+        esc = (fin.status == ESCAPED).astype(jnp.float32)
+        return jnp.sum(fin.position[:, 3] * esc) / jnp.maximum(
+            jnp.sum(esc), 1.0
+        )
+
+    g = jax.grad(loss)(jnp.float32(0.15))
+    eps = 2e-3
+    fd = (loss(jnp.float32(0.15 + eps)) - loss(jnp.float32(0.15 - eps))) / (
+        2 * eps
+    )
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.2, atol=5e-3)
