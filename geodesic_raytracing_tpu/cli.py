@@ -78,6 +78,12 @@ def main(argv=None) -> int:
     ap.add_argument("--dump-hlo", metavar="FILE", default=None,
                     help="write the lowered trace program (the reference's "
                          "argument_string.txt compile-line dump analogue)")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace (TensorBoard-readable) "
+                         "around the render")
+    ap.add_argument("--trace-stats", action="store_true",
+                    help="print per-trace ray statistics (status counts, "
+                         "step percentiles, Mrays/s)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
 
@@ -210,7 +216,23 @@ def main(argv=None) -> int:
         return 0
 
     t0 = time.perf_counter()
-    img = render_frame(metric, cam, params, backgrounds, settings, features)
+    if args.profile:
+        from .utils.profiling import xla_profile
+
+        with xla_profile(args.profile):
+            img = render_frame(metric, cam, params, backgrounds, settings,
+                               features)
+            np.asarray(img[:1, :1])  # force completion inside the trace
+    else:
+        img = render_frame(metric, cam, params, backgrounds, settings,
+                           features)
+
+    if args.trace_stats:
+        from .render.pipeline import trace_frame
+        from .utils.profiling import trace_stats
+
+        fin, _ = trace_frame(metric, cam, params, settings, features)
+        print(trace_stats(fin))
 
     if args.cube or args.obj:
         # GR triangle rendering: precompute each object's worldline, trace
