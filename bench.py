@@ -21,9 +21,8 @@ BASELINE_MRAYS = 1920 * 1080 * 30 / 1e6  # 62.2
 def main() -> int:
     import jax
 
-    from geodesic_raytracing_tpu import metrics
-    from geodesic_raytracing_tpu.camera import Camera
-    from geodesic_raytracing_tpu.ops.integrate import Features, TraceOptions
+    from geodesic_raytracing_tpu.bench_config import flagship_config
+    from geodesic_raytracing_tpu.ops.integrate import TraceOptions
     from geodesic_raytracing_tpu.render import background as bg
     from geodesic_raytracing_tpu.render.pipeline import (
         RefineBudgetController,
@@ -34,26 +33,8 @@ def main() -> int:
     W, H = 1920, 1080
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
-    metric = metrics.get_metric("kerr_boyer")
-    params = metric.params()
-    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    metric, params, camera, settings, features = flagship_config(W, H)
     backgrounds = bg.checker_background()
-    settings = RenderSettings(
-        width=W,
-        height=H,
-        # Reference default anisotropy (graphics_settings.hpp:34), served by
-        # a demand-matched probe schedule: the measured Kerr-frame probe
-        # demand is 7.2% of pixels >= 8 probes, 18% >= 3, 35% >= 2, so the
-        # sorted prefix tiers cost the same gathers as a flat 4-probe budget
-        # while resolving the full 8-probe anisotropy where it matters.
-        anisotropy=8,
-        probe_segments=((0.072, 8), (0.11, 4), (0.17, 2)),
-        trilinear=False,
-        adaptive_sampling=True,  # reference default (main.cpp:1152)
-        trace=TraceOptions(max_steps=16384, method="pallas", tile=2048,
-                           check_every=16),
-    )
-    features = Features.for_metric(metric)
 
     import jax.numpy as jnp
 

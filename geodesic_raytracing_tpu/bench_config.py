@@ -1,0 +1,66 @@
+"""The flagship benchmark configuration (1080p Kerr Boyer-Lindquist) and
+its adaptive-pipeline prefix, shared by ``bench.py`` and the measurement
+scripts in ``scripts/`` — production tuning lives HERE only (a stale copy
+in one script silently benches the wrong config).
+
+Reference bench analogue: ``RelativityWorkshop.exe -bench kerr_boyer``
+(main.cpp:970-986) with the defaults of graphics_settings.hpp:8-47.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def flagship_config(width: int = 1920, height: int = 1080):
+    """Returns ``(metric, params, camera, settings, features)`` for the
+    production 1080p Kerr bench frame."""
+    from . import metrics
+    from .camera import Camera
+    from .ops.integrate import Features, TraceOptions
+    from .render.pipeline import RenderSettings
+
+    metric = metrics.get_metric("kerr_boyer")
+    params = metric.params()
+    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    settings = RenderSettings(
+        width=width,
+        height=height,
+        # Reference default anisotropy (graphics_settings.hpp:34), served by
+        # a demand-matched probe schedule: measured Kerr-frame probe demand
+        # is 7.2% of pixels >= 8 probes, 18% >= 3, 35% >= 2, so the sorted
+        # prefix tiers cost the same gathers as a flat 4-probe budget while
+        # resolving the full 8-probe anisotropy where it matters.
+        anisotropy=8,
+        probe_segments=((0.072, 8), (0.11, 4), (0.17, 2)),
+        trilinear=False,
+        adaptive_sampling=True,  # reference default (main.cpp:1152)
+        trace=TraceOptions(max_steps=16384, method="pallas", tile=2048,
+                           check_every=16),
+    )
+    return metric, params, camera, settings, Features.for_metric(metric)
+
+
+def prepass_and_quarter(metric, camera, params, settings, features):
+    """The adaptive pipeline's prefix: prepass maps + quarter-ray setup.
+
+    Returns ``(dead, psteps, qstate0, ku, iquat, f_in_x, qcost)`` — the
+    operands of the quarter trace, as produced in production
+    (render.pipeline.render_data_adaptive).
+    """
+    from .render import pipeline as pl
+
+    W, H = settings.width, settings.height
+    dead = psteps = None
+    if metric.config.use_prepass:
+        pw = max(W // settings.prepass_scale, 4)
+        ph = max(H // settings.prepass_scale, 4)
+        psettings = dataclasses.replace(settings, width=pw, height=ph,
+                                        adaptive_sampling=False)
+        dead, psteps = pl._prepass_dead_map(metric, camera, params,
+                                            psettings, features)
+    qstate0, ku, iquat, f_in_x, qcost = pl._quarter_setup_jit(
+        metric, camera, params, settings, features, dead, psteps)
+    return dead, psteps, qstate0, ku, iquat, f_in_x, qcost

@@ -82,8 +82,8 @@ def main(argv=None) -> int:
                     help="write a jax.profiler trace (TensorBoard-readable) "
                          "around the render")
     ap.add_argument("--trace-stats", action="store_true",
-                    help="print per-trace ray statistics (status counts, "
-                         "step percentiles, Mrays/s)")
+                    help="print ray statistics (status counts, step "
+                         "percentiles) from a dedicated full-res trace")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
 
@@ -205,8 +205,13 @@ def main(argv=None) -> int:
         def sync(im):
             return float(jnp.sum(im[::128, ::128]))
 
-        sync(render_frame(metric, cam, params, backgrounds, settings,
-                          features, controller=controller))
+        # Settle warmup: the budget controller's first bucket change
+        # recompiles the refine chain — keep that out of the printed
+        # frametimes (bench.py does the same).
+        n_warm = 4 if settings.adaptive_sampling else 1
+        for _ in range(n_warm):
+            sync(render_frame(metric, cam, params, backgrounds, settings,
+                              features, controller=controller))
         for _ in range(args.frames):
             t0 = time.perf_counter()
             sync(render_frame(metric, cam, params, backgrounds, settings,

@@ -90,8 +90,8 @@ def pack_tiles(state: RayState, tile: int,
     pack to the back so whole tiles of them exit after one iteration; live
     rays sort by estimated cost so tiles are cost-uniform.
 
-    Returns ``(packed tuple, inv_perm, n)`` — ``packed`` is the kernel's
-    input operand tuple (pos, vel, acc, next_ds, rdl, status, steps, finx).
+    Returns ``(packed, inv_perm, n)`` — ``packed`` is the kernel's single
+    (n_tiles, 17, 8, lanes) input block; see the row layout below.
     """
     assert tile % SUBLANES == 0, "tile must be a multiple of 8"
     lanes = tile // SUBLANES
@@ -231,7 +231,7 @@ def launch(metric: Metric, packed, params, features: Features,
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 16, SUBLANES, lanes),
-                                       jnp.float32),
+                                       packed.dtype),
         interpret=interpret,
     )(pvec, fvec, packed)
 

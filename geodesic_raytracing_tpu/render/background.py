@@ -457,11 +457,14 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     order, dest = packing.bucket_sort_perm(max_probes - ip_f, max_probes)
     order = order[:k]
 
-    if len(bounds) > 1:
+    if any(iters < max_probes for _, _, iters in bounds) or len(bounds) > 1:
         # Per-pixel probe budget from the rank in the sorted order; pixels
         # wanting more than their segment grants re-clamp through
         # probe_geom (overblur).  Rank thresholds are static, so this is
-        # pure elementwise work.
+        # pure elementwise work.  The re-clamp must also run for a SINGLE
+        # segment whose iteration count is below max_probes — otherwise the
+        # walk geometry (start_n, du/dv) assumes more probes than the loop
+        # executes and samples only the negative half of the major axis.
         budget = jnp.ones((n_pix,), jnp.int32)
         for start, end, iters in reversed(bounds):
             budget = jnp.where(dest < end, iters, budget)

@@ -6,37 +6,21 @@ predictors against the oracle.
 
 from __future__ import annotations
 
-import dataclasses
 import sys
 
 import numpy as np
 
 
 def main() -> int:
-    from geodesic_raytracing_tpu import metrics
-    from geodesic_raytracing_tpu.camera import Camera
-    from geodesic_raytracing_tpu.ops.integrate import Features, TraceOptions
+    from geodesic_raytracing_tpu.bench_config import (
+        flagship_config,
+        prepass_and_quarter,
+    )
     from geodesic_raytracing_tpu.render import pipeline as pl
 
-    W, H = 1920, 1080
-    metric = metrics.get_metric("kerr_boyer")
-    params = metric.params()
-    camera = Camera.default().rotate(pitch=-np.pi / 2)
-    settings = pl.RenderSettings(
-        width=W, height=H, adaptive_sampling=True,
-        trace=TraceOptions(max_steps=16384, method="pallas", tile=2048,
-                           check_every=16),
-    )
-    features = Features.for_metric(metric)
-
-    pw = max(W // settings.prepass_scale, 4)
-    ph = max(H // settings.prepass_scale, 4)
-    psettings = dataclasses.replace(settings, width=pw, height=ph,
-                                    adaptive_sampling=False)
-    dead, psteps = pl._prepass_dead_map(metric, camera, params, psettings,
-                                        features)
-    qstate0, ku, iquat, f_in_x, qcost = pl._quarter_setup_jit(
-        metric, camera, params, settings, features, dead, psteps)
+    metric, params, camera, settings, features = flagship_config()
+    dead, psteps, qstate0, ku, iquat, f_in_x, qcost = prepass_and_quarter(
+        metric, camera, params, settings, features)
     fin = pl._trace_phases(metric, qstate0, params, settings, features,
                            qcost, f_in_x)
 

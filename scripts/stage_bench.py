@@ -43,24 +43,13 @@ def main() -> int:
 
     import jax.numpy as jnp
 
-    from geodesic_raytracing_tpu import metrics
-    from geodesic_raytracing_tpu.camera import Camera
-    from geodesic_raytracing_tpu.ops.integrate import Features, TraceOptions
+    from geodesic_raytracing_tpu.bench_config import flagship_config
     from geodesic_raytracing_tpu.render import background as bg
     from geodesic_raytracing_tpu.render import pipeline as pl
 
     W, H = args.width, args.height
-    metric = metrics.get_metric("kerr_boyer")
-    params = metric.params()
-    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    metric, params, camera, settings, features = flagship_config(W, H)
     backgrounds = bg.checker_background()
-    settings = pl.RenderSettings(
-        width=W, height=H, anisotropy=8,
-        probe_segments=((0.072, 8), (0.11, 4), (0.17, 2)),
-        trilinear=False, adaptive_sampling=True,
-        trace=TraceOptions(max_steps=16384, method="pallas", tile=2048),
-    )
-    features = Features.for_metric(metric)
     Wh, Hh = W // 2, H // 2
     nq = Wh * Hh
 

@@ -232,3 +232,21 @@ def test_probe_segments_budget_overblurs_not_aliases():
     # The truncated pixels blur more but must stay within the local value
     # range — compare distribution-level agreement.
     assert abs(seg.mean() - dense.mean()) < 0.02
+
+
+def test_probe_segments_single_segment_budget_reclamps():
+    """A single segment with iters < max_probes must re-clamp the walk
+    geometry exactly like the equivalent two-segment split (regression:
+    the re-clamp was gated on len(segments) > 1, sampling only the
+    negative half of the major axis)."""
+    img = np.random.default_rng(4).random((64, 128, 3)).astype(np.float32)
+    b = bg.build_background(img)
+    H, W = 64, 64
+    tex = _checker_tex(H, W, seed=11)
+    side = jnp.ones((H, W), jnp.int32)
+    one = np.asarray(bg.sample_anisotropic(
+        b, tex, side, max_probes=8, probe_segments=((1.0 / 3.0, 4),)))
+    two = np.asarray(bg.sample_anisotropic(
+        b, tex, side, max_probes=8,
+        probe_segments=((1.0 / 6.0, 4), (1.0 / 6.0, 4))))
+    np.testing.assert_array_equal(one, two)
