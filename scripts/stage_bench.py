@@ -34,6 +34,9 @@ def main() -> int:
     ap.add_argument("--save-npz", default=None,
                     help="dump per-launch (steps, dead, cost) arrays for "
                          "offline packing experiments")
+    ap.add_argument("--budget", type=float, default=None,
+                    help="refine budget fraction (default: the settled "
+                         "production bucket, 3/16)")
     args = ap.parse_args()
 
     import jax
@@ -77,10 +80,13 @@ def main() -> int:
 
     qstate = stage_qtrace()
 
-    if settings.refine_budget >= 1.0:
+    # Profile at the budget the production RefineBudgetController settles
+    # on for this frame (3/16; bench.py measures the settled steady state).
+    budget = args.budget if args.budget is not None else 3 / 16
+    if budget >= 1.0:
         k = nq
     else:
-        k = max(min(nq, 1024), (int(nq * settings.refine_budget) // 8) * 8)
+        k = max(min(nq, 1024), (int(nq * budget) // 8) * 8)
 
     def stage_rsetup():
         return pl._refine_setup_jit(metric, camera, params, settings,
