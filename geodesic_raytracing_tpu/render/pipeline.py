@@ -561,14 +561,15 @@ def _prepass_dead_map(metric: Metric, camera: cam.Camera, params,
 
 
 class RefineBudgetController:
-    """Demand-proportional refinement budgeting across a frame stream.
+    """Cross-frame controller: demand-proportional refinement budgeting plus
+    exact-step tile-packing feedback.
 
-    The reference sizes its refinement dispatch by an atomic counter —
-    exactly the frame's demand (cl.cl:5294, dispatched main.cpp:2478-2510).
-    Static TPU shapes can't do that per frame, so the demand fraction is
-    quantised to a few buckets and the pipeline re-specialises via jit
-    recompile when the bucket changes — the same dynamic->static program
-    swap the reference uses for metric parameters
+    **Budget.** The reference sizes its refinement dispatch by an atomic
+    counter — exactly the frame's demand (cl.cl:5294, dispatched
+    main.cpp:2478-2510).  Static TPU shapes can't do that per frame, so the
+    demand fraction is quantised to a few buckets and the pipeline
+    re-specialises via jit recompile when the bucket changes — the same
+    dynamic->static program swap the reference uses for metric parameters
     (metric_manager.hpp:172-219).
 
     Feedback never blocks the pipeline: the demand scalar of frame t starts
@@ -577,6 +578,17 @@ class RefineBudgetController:
     immediately when demand rises (quality first: over-budget blocks fall
     back to sphere interpolation) and shrinks only after ``down_patience``
     consecutive low frames (hysteresis against recompile thrash).
+
+    **Packing feedback.** A trace tile iterates until its slowest ray, so
+    tiles are packed cost-sorted; the shipped prepass/quarter-neighbour cost
+    keys leave x1.26/x1.34 executed-iteration waste vs a true-step oracle's
+    x1.04/x1.13 (scripts/stage_bench.py).  Frames are temporally coherent,
+    so the previous frame's *measured* per-ray step counts — already in
+    RenderData.steps, kept on device, never copied to the host — are that
+    oracle up to camera motion; a 3x3 local max absorbs small motion (and a
+    mispredicted key only costs packing waste, never correctness: packing is
+    a permutation).  ``qsteps``/``rsteps`` hold the device arrays between
+    frames.
     """
 
     BUCKETS = (1 / 16, 1 / 8, 3 / 16, 1 / 4, 3 / 8, 1 / 2, 3 / 4, 1.0)
@@ -589,6 +601,10 @@ class RefineBudgetController:
         self._down_patience = down_patience
         self._down = 0
         self._current: float | None = None
+        # Previous frame's measured step counts (device arrays, see class
+        # docstring): quarter rays (nq,) and per-block refine max (nq,).
+        self.qsteps: Array | None = None
+        self.rsteps: Array | None = None
 
     def fraction(self, cap: float) -> float:
         """The refine budget to use for the next frame (<= cap)."""
@@ -652,8 +668,10 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
         dead, psteps = _prepass_dead_map(metric, camera, params, psettings,
                                          features)
 
+    prev_q = controller.qsteps if controller is not None else None
+    prev_r = controller.rsteps if controller is not None else None
     state, ku, iquat, f_in_x, qcost = _quarter_setup_jit(
-        metric, camera, params, settings, features, dead, psteps)
+        metric, camera, params, settings, features, dead, psteps, prev_q)
     state = _trace_phases(metric, state, params, settings, features, qcost,
                           f_in_x)
 
@@ -666,13 +684,17 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
         k = max(min(nq, 1024), (int(nq * frac) // 8) * 8)
     (qr, should, demand, sel, dest, rstate, rku, riquat, rf_in_x,
      rcost) = _refine_setup_jit(metric, camera, params, settings, features,
-                                state, ku, iquat, k)
+                                state, ku, iquat, k, prev_r)
     if controller is not None:
         controller.observe(demand)
+        controller.qsteps = qr.steps
     rstate = _trace_phases(metric, rstate, params, settings, features, rcost,
                            rf_in_x)
-    return _finish_jit(metric, rstate, rku, riquat, params, features, qr,
-                       should, sel, dest, settings, k)
+    rdata, rsteps = _finish_jit(metric, rstate, rku, riquat, params, features,
+                                qr, should, sel, dest, settings, k)
+    if controller is not None:
+        controller.rsteps = rsteps
+    return rdata
 
 
 def _qcoords(settings: RenderSettings):
@@ -686,17 +708,33 @@ def _qcoords(settings: RenderSettings):
     return xx.reshape(-1), yy.reshape(-1)
 
 
+def _local_max3x3(grid: Array) -> Array:
+    """Conservative 3x3 neighbourhood max (packing keys need a LOCAL MAX:
+    a smoother field under-bounds expensive rays and poisons cheap tiles)."""
+    m = jnp.maximum
+    row = m(m(_shift2d(grid, 0, -1, 0.0), grid), _shift2d(grid, 0, 1, 0.0))
+    return m(m(_shift2d(row, -1, 0, 0.0), row), _shift2d(row, 1, 0, 0.0))
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "settings"))
 def _quarter_setup_jit(metric: Metric, camera: cam.Camera, params,
                        settings: RenderSettings, features: Features,
-                       dead: Array | None, psteps: Array | None):
-    """Quarter-pass ray init fused with the prepass kill/cost probes."""
+                       dead: Array | None, psteps: Array | None,
+                       prev_qsteps: Array | None = None):
+    """Quarter-pass ray init fused with the prepass kill/cost probes.
+
+    ``prev_qsteps``: the previous frame's measured quarter-ray step counts
+    (RefineBudgetController feedback) — a near-oracle packing key under
+    temporal coherence, replacing the 16x-prepass estimate."""
     W, H = settings.width, settings.height
     qcx, qcy = _qcoords(settings)
     kill = qcost = None
     if dead is not None:
         kill = _prepass_kill(dead, W, H, W // 2, H // 2)
         qcost = _prepass_cost(psteps, W, H, W // 2, H // 2)
+    if prev_qsteps is not None:
+        pg = prev_qsteps.reshape(H // 2, W // 2).astype(jnp.float32)
+        qcost = _local_max3x3(pg).reshape(-1)
     state, ku, iquat = _init_rays(metric, camera, params, settings, features,
                                   qcx, qcy, kill)
     f_in_x = jnp.abs(state.velocity[:, 0])
@@ -709,7 +747,8 @@ _REFINE_OFFSETS = ((1, 0), (0, 1), (1, 1))
 @functools.partial(jax.jit, static_argnames=("metric", "settings", "k"))
 def _refine_setup_jit(metric: Metric, camera: cam.Camera, params,
                       settings: RenderSettings, features: Features,
-                      qstate, qku, qiquat, k: int):
+                      qstate, qku, qiquat, k: int,
+                      prev_rsteps: Array | None = None):
     """Quarter render-data + top-k block selection + refine-ray init, fused
     into one program (handle_adaptive_sampling's decision half,
     cl.cl:5240-5294)."""
@@ -727,6 +766,14 @@ def _refine_setup_jit(metric: Metric, camera: cam.Camera, params,
         jnp.maximum(jnp.roll(qsteps, -1, axis=0),
                     jnp.roll(qsteps, (-1, -1), axis=(0, 1))),
     ).astype(jnp.float32).reshape(-1)
+    if prev_rsteps is not None:
+        # Blocks refined last frame carry their own measured refine step
+        # counts (controller feedback) — exact under temporal coherence; a
+        # 3x3 block-neighbourhood max absorbs small motion.  Blocks without
+        # a measurement (rsteps 0) keep the quarter-neighbour estimate.
+        pg = prev_rsteps.reshape(Hh, Wh).astype(jnp.float32)
+        qcost_exact = jnp.where(pg.reshape(-1) > 0,
+                                _local_max3x3(pg).reshape(-1), qcost_exact)
 
     should, sel, dest = _select_refine_blocks(qg, settings, k)
     # Demand fraction for the budget controller — computed here so it costs
@@ -799,8 +846,12 @@ def _finish_jit(metric: Metric, rstate, rku, riquat, params,
     qg = RenderData(*(grid(f) for f in qr))
     # Blocks over budget fall back to interpolation.
     traced_ok = should & ok.reshape(Hh, Wh)
+    # Per-block max of the three refine rays' measured steps (columns 7, 15,
+    # 23 of the packed scatter) — the next frame's refine packing key
+    # (RefineBudgetController feedback); 0 where the block was not traced.
+    rsteps = jnp.maximum(jnp.maximum(wide[:, 7], wide[:, 15]), wide[:, 23])
     return _adaptive_assemble(qg, part(0), part(1), part(2), traced_ok,
-                              settings)
+                              settings), rsteps
 
 
 def _refine_error_terms(qg: RenderData, settings: RenderSettings):

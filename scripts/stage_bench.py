@@ -105,7 +105,7 @@ def main() -> int:
         return pl._finish_jit(metric, rstate, rku, riquat, params, features,
                               qr, should, sel, dest, settings, k)
 
-    rdata = stage_finish()
+    rdata, _rsteps = stage_finish()
 
     def stage_shade():
         return pl._shade_jit(rdata, backgrounds, settings)
