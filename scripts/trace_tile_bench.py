@@ -34,6 +34,10 @@ def main() -> int:
                     help="comma list of check_every values to sweep")
     ap.add_argument("--unroll", default="1",
                     help="comma list of inner-loop unroll factors")
+    ap.add_argument("--oracle", action="store_true",
+                    help="pack by true step counts (the steady state of the "
+                         "cross-frame feedback key) instead of prepass/"
+                         "quarter estimates")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +63,13 @@ def main() -> int:
     (qr, should, _demand, sel, dest, rstate0, rku, riquat, rf_in_x,
      rcost) = pl._refine_setup_jit(metric, camera, params, settings,
                                    features, qstate, ku, iquat, k)
+
+    if args.oracle:
+        qcost = qstate.steps.astype(np.float32)
+        rfin = pl._trace_phases(metric, rstate0, params, settings, features,
+                                rcost, rf_in_x)
+        rcost = rfin.steps.astype(np.float32)
+        sync(rcost)
 
     import itertools
 
