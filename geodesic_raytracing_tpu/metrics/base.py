@@ -204,6 +204,14 @@ class Metric:
     # the others are dropped at trace time (the analogue of the reference's
     # symbolic zero pruning).  Validated by tests/test_metrics_catalogue.
     depends_on: tuple = (0, 1, 2, 3)
+    # Structurally nonzero upper-triangle entries (i <= j), or None = dense.
+    # The integrator's 4x4 inverse and Christoffel contraction drop terms
+    # for absent entries at trace time — for Kerr BL (diag + t-phi) the
+    # pruned cofactor expansion collapses to the 2x2-block closed form.
+    # Explicit declaration, like depends_on (the reference detects the same
+    # sparsity symbolically: debiggen metric.hpp:665-708); validated against
+    # numeric probes by tests/test_metrics_catalogue.
+    structure: frozenset | None = None
 
     # -- parameter handling --------------------------------------------------
     def params(self, **overrides) -> dict:
@@ -217,6 +225,14 @@ class Metric:
     # -- geometry ------------------------------------------------------------
     def g(self, x: Array, params) -> Array:
         return self.fn(x, params)
+
+    def nonzeros(self) -> frozenset | None:
+        """Structurally nonzero (i <= j) metric entries, or None = dense."""
+        if self.structure is not None:
+            return self.structure
+        if self.diagonal:
+            return frozenset((i, i) for i in range(4))
+        return None
 
     # -- coordinates ---------------------------------------------------------
     def to_polar(self, x: Array, params) -> Array:

@@ -7,24 +7,31 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.geometry import recip
 from .base import Metric, diag_metric, make_config, minkowski_plus, register, sym_metric
 
 
 def kerr_boyer_fn(x, params):
-    """scripts/kerr_boyer.js — Kerr in Boyer-Lindquist (t, r, theta, phi)."""
+    """scripts/kerr_boyer.js — Kerr in Boyer-Lindquist (t, r, theta, phi).
+
+    Shared denominators go through ``geometry.recip`` once and multiply:
+    fp divides are the integrator step's costliest op class, and the
+    custom-JVP reciprocal keeps the partial-derivative sweeps div-free."""
     rs, a = params["rs"], params["a"]
     r, theta = x[1], x[2]
     ct, st = jnp.cos(theta), jnp.sin(theta)
+    st2 = st * st
     E = r * r + a * a * ct * ct
     D = r * r - rs * r + a * a
-    g_tphi = -rs * r * a * st * st / E
+    invE = recip(E)
+    rsr_invE = rs * r * invE
     return sym_metric(
         {
-            (0, 0): -(1.0 - rs * r / E),
-            (1, 1): E / D,
+            (0, 0): -(1.0 - rsr_invE),
+            (1, 1): E * recip(D),
             (2, 2): E,
-            (3, 3): (r * r + a * a + rs * r * a * a * st * st / E) * st * st,
-            (0, 3): g_tphi,
+            (3, 3): (r * r + a * a + rsr_invE * a * a * st2) * st2,
+            (0, 3): -rsr_invE * a * st2,
         }
     )
 
@@ -44,6 +51,7 @@ kerr_boyer = register(
         ),
         defaults={"rs": 1.0, "a": -0.5},
         depends_on=(1, 2),
+        structure=frozenset({(0, 0), (1, 1), (2, 2), (3, 3), (0, 3)}),
     )
 )
 
@@ -126,6 +134,9 @@ kerr_ingoing_ef = register(
         ),
         defaults={"rs": 1.0, "a": -0.5},
         depends_on=(1, 2),
+        structure=frozenset(
+            {(0, 0), (0, 1), (0, 3), (1, 3), (2, 2), (3, 3)}
+        ),
     )
 )
 
@@ -171,6 +182,7 @@ kerr_newman_boyer = register(
         ),
         defaults={"rs": 1.0, "r2q": 0.51, "a": -0.51},
         depends_on=(1, 2),
+        structure=frozenset({(0, 0), (1, 1), (2, 2), (3, 3), (0, 3)}),
     )
 )
 
@@ -255,5 +267,6 @@ kerr_rational_polynomial = register(
         ),
         defaults={"m": 0.5, "a": -0.25},
         depends_on=(1, 2),
+        structure=frozenset({(0, 0), (1, 1), (2, 2), (3, 3), (0, 3)}),
     )
 )

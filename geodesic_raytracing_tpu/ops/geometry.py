@@ -29,6 +29,28 @@ Array = jax.Array
 MetricFn = Callable[..., Array]
 
 
+@jax.custom_jvp
+def recip(x: Array) -> Array:
+    """1/x with a division-free tangent.
+
+    fp division is a many-cycle VPU sequence and the single biggest op class
+    in the integrator step (jaxpr-counted).  JAX's builtin div JVP emits two
+    more divides per tangent; this rule reuses the primal reciprocal:
+        d(1/x) = -(1/x)^2 dx
+    Metric functions should compute shared denominators once via ``recip``
+    and multiply (see kerr_boyer_fn) — the JVP sweeps then stay div-free.
+    """
+    return 1.0 / x
+
+
+@recip.defjvp
+def _recip_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    y = recip(x)
+    return y, -y * y * dx
+
+
 def metric_and_partials(g: MetricFn, x: Array, params) -> tuple[Array, Array]:
     """Evaluate ``g`` and its coordinate partials at ``x``.
 
@@ -170,16 +192,18 @@ def metric_and_partials_batched(g, x: Array, params,
     trace-time sparsity that replaces the reference's symbolic
     zero-expression pruning (equation_context CSE + debiggen).
 
-    One JVP pass per dependent coordinate — exactly the reference's
-    dual-number sweep (metric.hpp:38-80), one dual seed per coordinate.
+    One tangent pass per dependent coordinate — exactly the reference's
+    dual-number sweep (metric.hpp:38-80), one dual seed per coordinate —
+    via ``jax.linearize`` so the primal evaluation (its transcendentals and
+    divides) is traced ONCE and shared across all seeds, instead of being
+    re-emitted per ``jax.jvp`` call (Mosaic does not CSE across them).
     """
     f = lambda y: g(y, params)
-    gab = f(x)
+    gab, f_lin = jax.linearize(f, x)
     dgs: list = [None, None, None, None]
     for c in deps:
         seed = jnp.broadcast_to(basis_vec4(c, x), x.shape)
-        _, dg = jax.jvp(f, (x,), (seed,))
-        dgs[c] = dg
+        dgs[c] = f_lin(seed)
     return gab, dgs
 
 
@@ -232,14 +256,116 @@ def inverse44_batched(m: Array) -> Array:
     return jnp.stack([jnp.stack([e * invdet for e in row]) for row in rows])
 
 
-def inverse44_sym_batched(m: Array) -> Array:
+# --- trace-time zero pruning ------------------------------------------------
+# ``None`` is the structural zero: arithmetic helpers fold it away at trace
+# time, so a sparse metric's inverse/contraction compiles only the surviving
+# terms (neither XLA nor Mosaic may fold x * 0.0 — fp semantics allow
+# NaN * 0 = NaN — so the pruning must happen before lowering).  This is the
+# same specialisation the reference performs symbolically (debiggen /
+# equation_context zero expressions, metric.hpp:665-708).
+
+def _pmul(x, y):
+    return None if x is None or y is None else x * y
+
+
+def _padd(x, y):
+    if x is None:
+        return y
+    if y is None:
+        return x
+    return x + y
+
+
+def _psub(x, y):
+    if y is None:
+        return x
+    if x is None:
+        return -y
+    return x - y
+
+
+def _pneg(x):
+    return None if x is None else -x
+
+
+def _sym_entries(m: Array, nz: frozenset):
+    """4x4 list of Array-or-None views of a symmetric batch ``m``."""
+    def get(i, j):
+        key = (i, j) if i <= j else (j, i)
+        return m[i, j] if key in nz else None
+
+    return [[get(i, j) for j in range(4)] for i in range(4)]
+
+
+def _inv44_sym_entries(E):
+    """Pruned symmetric-4x4 inverse over an entry grid (Array-or-None).
+
+    Identical cofactor algebra to :func:`inverse44_sym_batched`; structural
+    zeros drop their terms at trace time (Kerr BL's diag + t-phi structure
+    collapses to the 2x2-block closed form, ~7 multiplies).  Returns the
+    entry grid of the inverse (structural zeros stay ``None``)."""
+    a = E[0][0]; b = E[0][1]; c = E[0][2]; d = E[0][3]
+    e = E[1][1]; f = E[1][2]; g_ = E[1][3]
+    h = E[2][2]; i = E[2][3]
+    j = E[3][3]
+
+    hj_ii = _psub(_pmul(h, j), _pmul(i, i))
+    fj_gi = _psub(_pmul(f, j), _pmul(g_, i))
+    fi_gh = _psub(_pmul(f, i), _pmul(g_, h))
+    ej_gg = _psub(_pmul(e, j), _pmul(g_, g_))
+    ei_gf = _psub(_pmul(e, i), _pmul(g_, f))
+    eh_ff = _psub(_pmul(e, h), _pmul(f, f))
+    cj_di = _psub(_pmul(c, j), _pmul(d, i))
+    ci_dh = _psub(_pmul(c, i), _pmul(d, h))
+    cg_df = _psub(_pmul(c, g_), _pmul(d, f))
+    bj_dg = _psub(_pmul(b, j), _pmul(d, g_))
+    bi_df = _psub(_pmul(b, i), _pmul(d, f))
+    bg_de = _psub(_pmul(b, g_), _pmul(d, e))
+    bh_cf = _psub(_pmul(b, h), _pmul(c, f))
+    bf_ce = _psub(_pmul(b, f), _pmul(c, e))
+
+    def tri(x, p, y, q, z, r):
+        return _padd(_psub(_pmul(x, p), _pmul(y, q)), _pmul(z, r))
+
+    C00 = tri(e, hj_ii, f, fj_gi, g_, fi_gh)
+    C01 = _pneg(tri(b, hj_ii, f, cj_di, g_, ci_dh))
+    C02 = tri(b, fj_gi, e, cj_di, g_, cg_df)
+    C03 = _pneg(tri(b, fi_gh, e, ci_dh, f, cg_df))
+    C11 = tri(a, hj_ii, c, cj_di, d, ci_dh)
+    C12 = _pneg(tri(a, fj_gi, b, cj_di, d, cg_df))
+    C13 = tri(a, fi_gh, b, ci_dh, c, cg_df)
+    C22 = tri(a, ej_gg, b, bj_dg, d, bg_de)
+    C23 = _pneg(tri(a, ei_gf, b, bi_df, c, bg_de))
+    C33 = tri(a, eh_ff, b, bh_cf, c, bf_ce)
+
+    det = _padd(_padd(_pmul(a, C00), _pmul(b, C01)),
+                _padd(_pmul(c, C02), _pmul(d, C03)))
+    inv_det = 1.0 / det
+
+    C = [[C00, C01, C02, C03],
+         [C01, C11, C12, C13],
+         [C02, C12, C22, C23],
+         [C03, C13, C23, C33]]
+    return [[_pmul(C[r][s], inv_det) for s in range(4)] for r in range(4)]
+
+
+def inverse44_sym_batched(m: Array, nz: frozenset | None = None) -> Array:
     """Closed-form inverse of a *symmetric* 4x4 (component-first batch).
 
     Exploits g_ij = g_ji: 10 unique inputs, 10 unique cofactors — roughly
     half the multiplies of the general adjugate, which matters in the
     VPU-bound integrator (reference ``metric_inverse`` cl.cl:469-558 is the
-    same specialisation).
+    same specialisation).  ``nz``: optional structural-nonzero entry set —
+    absent entries prune their terms at trace time (see
+    :func:`_inv44_sym_entries`).
     """
+    if nz is not None:
+        Einv = _inv44_sym_entries(_sym_entries(m, nz))
+        zero = jnp.zeros_like(m[0, 0])
+        return jnp.stack([
+            jnp.stack([x if x is not None else zero for x in row])
+            for row in Einv
+        ])
     a = m[0, 0]; b = m[0, 1]; c = m[0, 2]; d = m[0, 3]
     e = m[1, 1]; f = m[1, 2]; g_ = m[1, 3]
     h = m[2, 2]; i = m[2, 3]
@@ -283,7 +409,8 @@ def inverse44_sym_batched(m: Array) -> Array:
 
 
 def acceleration_batched(g, x: Array, v: Array, params,
-                         deps=(0, 1, 2, 3)) -> Array:
+                         deps=(0, 1, 2, 3), nz: frozenset | None = None
+                         ) -> Array:
     """Batched geodesic acceleration: x, v of shape (4, N) -> (4, N).
 
     Same contraction as :func:`geodesic_acceleration` with explicit component
@@ -291,13 +418,26 @@ def acceleration_batched(g, x: Array, v: Array, params,
     terms dropped at trace time for coordinates the metric does not depend on:
         S_n  = v^a v^b ( d_a g_nb - 1/2 d_n g_ab )
         a    = -g^{-1} S
+    ``nz`` (Metric.nonzeros()): structurally-zero metric entries additionally
+    prune their contraction terms and collapse the inverse (derivatives of a
+    structural zero are zero) — neither XLA nor Mosaic may fold fp ``x * 0``,
+    so this pruning happens at trace time, like the reference's symbolic
+    zero expressions.
     """
+
+    def present(i, j):
+        return nz is None or ((i, j) if i <= j else (j, i)) in nz
+
     gab, dg = metric_and_partials_batched(g, x, params, deps)
-    # Precompute the 10 unique velocity products.
-    vv = [[v[a] * v[b] if a <= b else None for b in range(4)] for a in range(4)]
+    # Precompute the unique velocity products (lazily: pruned terms must not
+    # pay for theirs).
+    vv: dict = {}
 
     def vvp(a, b):
-        return vv[a][b] if a <= b else vv[b][a]
+        key = (a, b) if a <= b else (b, a)
+        if key not in vv:
+            vv[key] = v[key[0]] * v[key[1]]
+        return vv[key]
 
     S = []
     for n in range(4):
@@ -305,23 +445,34 @@ def acceleration_batched(g, x: Array, v: Array, params,
         # term1: v^a v^b d_a g_nb, only a with dg[a] present
         for a in deps:
             for b in range(4):
+                if not present(n, b):
+                    continue
                 t = vvp(a, b) * dg[a][n, b]
                 acc = t if acc is None else acc + t
         # term2: -1/2 v^a v^b d_n g_ab, only when dg[n] present
         if dg[n] is not None:
             for a in range(4):
                 for b in range(a, 4):
+                    if not present(a, b):
+                        continue
                     w = 1.0 if a == b else 2.0
                     t = (0.5 * w) * vvp(a, b) * dg[n][a, b]
                     acc = -t if acc is None else acc - t
-        S.append(acc if acc is not None else jnp.zeros_like(v[0]))
-    ginv = inverse44_sym_batched(gab)
+        S.append(acc)
+
+    if nz is not None:
+        ginv = _inv44_sym_entries(_sym_entries(gab, nz))
+    else:
+        dense = inverse44_sym_batched(gab)
+        ginv = [[dense[r, s] for s in range(4)] for r in range(4)]
+    zero = jnp.zeros_like(v[0])
     out = []
     for mu in range(4):
-        acc = 0.0
+        acc = None
         for n in range(4):
-            acc = acc + ginv[mu, n] * S[n]
-        out.append(-acc)
+            t = _pmul(ginv[mu][n], S[n])
+            acc = _padd(acc, t)
+        out.append(-acc if acc is not None else zero)
     return jnp.stack(out)
 
 

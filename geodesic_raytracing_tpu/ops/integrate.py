@@ -145,8 +145,12 @@ def _transpose_out(s: _StateT) -> RayState:
 
 
 def linear_val(value, min_val, max_val, at_min, at_max):
-    """cl.cl:806-811 — clamped linear remap."""
-    mixd = jnp.clip((value - min_val) / (max_val - min_val), 0.0, 1.0)
+    """cl.cl:806-811 — clamped linear remap.
+
+    The divide is by the scalar span, hoisted out of the vector lane work
+    (constant-folds entirely when the bounds are Python floats)."""
+    inv_span = 1.0 / (max_val - min_val)
+    mixd = jnp.clip((value - min_val) * inv_span, 0.0, 1.0)
     return at_min + (at_max - at_min) * mixd
 
 
@@ -168,12 +172,14 @@ def acceleration_to_precision(acc: Array, max_acceleration, w_v,
     # turns every reverse-mode gradient into NaN (inf * 0).  Forward values
     # are unchanged (the diff floor below dominates 1e-15).
     err_scale = jnp.sqrt(jnp.maximum(jnp.sum(wa * wa, axis=0), 1e-30)) \
-        * 0.01 / udiv
+        * (0.01 / udiv)
     err = max_acceleration
     diff = err_scale * _PRECISION_SCALE
-    floor = err * _PRECISION_SCALE / (_MAX_TIMESTEP * _MAX_TIMESTEP)
+    floor = err * (_PRECISION_SCALE / (_MAX_TIMESTEP * _MAX_TIMESTEP))
     diff = jnp.maximum(diff, floor)
-    next_ds = jnp.sqrt(err * _PRECISION_SCALE / diff)
+    # sqrt(e/d) = sqrt(e) * rsqrt(d): the scalar sqrt hoists off the lanes
+    # and the vector divide becomes one rsqrt (diff > 0 by the floor above).
+    next_ds = jnp.sqrt(err * _PRECISION_SCALE) * jax.lax.rsqrt(diff)
     return diff, next_ds
 
 
@@ -189,7 +195,7 @@ def verlet_step(metric: Metric, position, velocity, acceleration, ds, params,
     intermediate_velocity = velocity + acceleration * ds_
     next_acceleration = geometry.acceleration_batched(
         metric.fn, next_position, intermediate_velocity, params,
-        deps=deps,
+        deps=deps, nz=metric.nonzeros(),
     )
     next_velocity = velocity + 0.5 * (acceleration + next_acceleration) * ds_
 
@@ -222,7 +228,8 @@ def init_ray_state(metric: Metric, position: Array, velocity: Array, params,
         vel = geometry.fix_null_batched(gab, vel)
 
     acc = geometry.acceleration_batched(metric.fn, pos, vel, params,
-                                         deps=metric.depends_on)
+                                         deps=metric.depends_on,
+                                         nz=metric.nonzeros())
 
     w_v = jnp.array(metric.precision_weights(), dtype=pos.dtype)
     if metric.config.adaptive_precision:
@@ -302,9 +309,12 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
         if cfg.has_cylindrical_singularity:
             dead = dead | (pos[1] < cfg.cylindrical_terminator)
         if not cfg.unconditionally_nonsingular:
+            # |v/rd| > t  <=>  |v| > t*rd — running_dlambda_dnew is a product
+            # of K = 1/max|v'| factors, always > 0, so the divides become
+            # multiply-compares (cl.cl:4100-4112 divides; same predicate).
             rd = state.running_dlambda_dnew
-            blowup = (jnp.abs(vel[0] / rd) > 1000.0 + f_in_x) & (
-                jnp.abs(acc[0] / rd) > 100.0
+            blowup = (jnp.abs(vel[0]) > (1000.0 + f_in_x) * rd) & (
+                jnp.abs(acc[0]) > 100.0 * rd
             )
             dead = dead | blowup
 
@@ -317,7 +327,7 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
             # step_euler (cl.cl:3352-3377): acceleration at the current
             # event, then a semi-implicit update.
             lacc = geometry.acceleration_batched(
-                metric.fn, pos, vel, params, deps=deps
+                metric.fn, pos, vel, params, deps=deps, nz=metric.nonzeros()
             )
             nvel = vel + lacc * ds[None, :]
             npos = pos + nvel * ds[None, :]
@@ -343,14 +353,17 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
             diff, ideal_ds = acceleration_to_precision(
                 nacc, err, w_v, udiv=float(max(w_v_const))
             )
-            # calculate_ds_error (cl.cl:3431-3456)
-            cand = 0.99 * ds * jnp.clip(ideal_ds / ds, 0.3, 2.0)
+            # calculate_ds_error (cl.cl:3431-3456).  Div-free forms (ds > 0):
+            # ds*clip(ideal/ds, .3, 2) == clip(ideal, .3*ds, 2*ds);
+            # cand < ds/1.95 <=> 1.95*cand < ds;
+            # diff/SCALE > e <=> diff > e*SCALE.
+            cand = 0.99 * jnp.clip(ideal_ds, 0.3 * ds, 2.0 * ds)
             cand = jnp.maximum(cand, features.min_step)
-            skip = cand < ds / 1.95
+            skip = 1.95 * cand < ds
             kill = jnp.zeros_like(skip)
             if cfg.detect_singularities:
                 kill = (cand <= features.min_step) & (
-                    diff / _PRECISION_SCALE > err * 10000.0
+                    diff > err * (10000.0 * _PRECISION_SCALE)
                 )
             # Error control applies only in the near zone (cl.cl:4156).
             skip = skip & near
