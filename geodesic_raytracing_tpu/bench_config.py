@@ -31,10 +31,17 @@ def flagship_config(width: int = 1920, height: int = 1080):
         # Reference default anisotropy (graphics_settings.hpp:34), served by
         # a demand-matched probe schedule: measured Kerr-frame probe demand
         # is 7.2% of pixels >= 8 probes, 18% >= 3, 35% >= 2, so the sorted
-        # prefix tiers cost the same gathers as a flat 4-probe budget while
-        # resolving the full 8-probe anisotropy where it matters.
+        # prefix tiers cost fewer gathers than a flat 4-probe budget while
+        # resolving the full anisotropy where it matters.  Counts are ODD
+        # (the reference's probe walk — cl.cl:5646-5657, mirrored here —
+        # starts even counts at -ip-1, sampling only the negative half of
+        # the major axis, so an even tier wastes its gathers), and the
+        # marginal 2-probe tier is dropped: scripts/shade_quality.py
+        # measures 2-point probing WORSE than the isotropic major-axis
+        # fallback (RMSE_hot 0.0437 -> 0.0363 while 2.46 -> 1.93 gather
+        # rows/px vs the old (.072,8)(.11,4)(.17,2) schedule).
         anisotropy=8,
-        probe_segments=((0.072, 8), (0.11, 4), (0.17, 2)),
+        probe_segments=((0.072, 7), (0.11, 3)),
         trilinear=False,
         adaptive_sampling=True,  # reference default (main.cpp:1152)
         trace=TraceOptions(max_steps=16384, method="pallas", tile=2048,
