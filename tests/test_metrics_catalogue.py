@@ -112,6 +112,49 @@ def test_kerr_schild_reduces_to_schwarzschild_metric_distance():
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_structure_claims(name):
+    """Metric.nonzeros() must cover every actually-nonzero entry, and the
+    structure-pruned inverse + geodesic acceleration must match the dense
+    paths (the trace-time zero pruning in ops.geometry)."""
+    from geodesic_raytracing_tpu.ops import geometry
+
+    m = get_metric(name)
+    nz = m.nonzeros()
+    x = probe_for(m)
+    params = m.params()
+    # batched probe: the point plus jittered copies (catches accidental
+    # zeros at a special point)
+    rng = np.random.default_rng(7)
+    xs = jnp.asarray(
+        np.asarray(x)[:, None]
+        + 0.05 * rng.standard_normal((4, 8)).astype(np.float32)
+    )
+    gab = m.fn(xs, params)
+    if gab.ndim == 2:
+        gab = gab[..., None]
+    gn = np.asarray(gab)
+    if nz is not None:
+        for i in range(4):
+            for j in range(i, 4):
+                if (i, j) not in nz:
+                    assert np.max(np.abs(gn[i, j])) < 1e-7, (
+                        f"{name} has nonzero g[{i},{j}] outside declared "
+                        f"structure {sorted(nz)}"
+                    )
+        ginv_s = np.asarray(geometry.inverse44_sym_batched(gab, nz))
+        ginv_d = np.asarray(geometry.inverse44_sym_batched(gab))
+        np.testing.assert_allclose(ginv_s, ginv_d, rtol=2e-5, atol=1e-6)
+
+    vs = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+    acc_s = np.asarray(geometry.acceleration_batched(
+        m.fn, xs, vs, params, deps=m.depends_on, nz=nz))
+    acc_d = np.asarray(geometry.acceleration_batched(
+        m.fn, xs, vs, params, deps=m.depends_on, nz=None))
+    assert np.all(np.isfinite(acc_s)), name
+    np.testing.assert_allclose(acc_s, acc_d, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_depends_on_claims(name):
     """The declared dependency set must cover every coordinate the metric
     actually varies with (finite-difference probe)."""
