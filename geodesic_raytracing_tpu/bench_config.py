@@ -14,12 +14,25 @@ import dataclasses
 import numpy as np
 
 
+# Production trace tuning (shared with cli.py's TPU default).  See
+# BENCH_NOTES.md for the measurements behind every value.
+def production_trace(max_steps: int = 16384):
+    from .ops.integrate import TraceOptions
+
+    return TraceOptions(max_steps=max_steps, method="pallas", tile=2048,
+                        check_every=16)
+
+
+# Demand-matched EWA probe schedule — see the comment in flagship_config.
+PRODUCTION_PROBE_SEGMENTS = ((0.072, 7), (0.11, 3))
+
+
 def flagship_config(width: int = 1920, height: int = 1080):
     """Returns ``(metric, params, camera, settings, features)`` for the
     production 1080p Kerr bench frame."""
     from . import metrics
     from .camera import Camera
-    from .ops.integrate import Features, TraceOptions
+    from .ops.integrate import Features
     from .render.pipeline import RenderSettings
 
     metric = metrics.get_metric("kerr_boyer")
@@ -41,11 +54,10 @@ def flagship_config(width: int = 1920, height: int = 1080):
         # fallback (RMSE_hot 0.0437 -> 0.0363 while 2.46 -> 1.93 gather
         # rows/px vs the old (.072,8)(.11,4)(.17,2) schedule).
         anisotropy=8,
-        probe_segments=((0.072, 7), (0.11, 3)),
+        probe_segments=PRODUCTION_PROBE_SEGMENTS,
         trilinear=False,
         adaptive_sampling=True,  # reference default (main.cpp:1152)
-        trace=TraceOptions(max_steps=16384, method="pallas", tile=2048,
-                           check_every=16),
+        trace=production_trace(),
     )
     return metric, params, camera, settings, Features.for_metric(metric)
 

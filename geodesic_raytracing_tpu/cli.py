@@ -85,6 +85,10 @@ def main(argv=None) -> int:
                     help="print ray statistics (status counts, step "
                          "percentiles) from a dedicated full-res trace")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--trace-method", default="auto",
+                    choices=("auto", "while", "pallas", "scan"),
+                    help="integrator driver: auto = the tiled Pallas kernel "
+                         "on TPU (production path), whole-batch while on CPU")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -166,6 +170,18 @@ def main(argv=None) -> int:
         backgrounds = bg.checker_background()
 
     ss = max(1, args.supersample)
+    method = args.trace_method
+    if method == "auto":
+        # Pallas is the production TPU path (tile-local early exit); the
+        # CPU backend only interprets Pallas, so whole-batch while there.
+        method = "while" if jax.default_backend() == "cpu" else "pallas"
+    trace = TraceOptions(max_steps=args.max_steps, method=method)
+    probe_segments = ()
+    if method == "pallas":
+        from .bench_config import PRODUCTION_PROBE_SEGMENTS, production_trace
+
+        trace = production_trace(max_steps=args.max_steps)
+        probe_segments = PRODUCTION_PROBE_SEGMENTS
     settings = RenderSettings(
         width=args.width * ss,
         height=args.height * ss,
@@ -175,7 +191,8 @@ def main(argv=None) -> int:
         old_redshift=args.old_redshift,
         dominant_colour=args.dominant_colour,
         adaptive_sampling=args.adaptive,
-        trace=TraceOptions(max_steps=args.max_steps),
+        trace=trace,
+        probe_segments=probe_segments,
     )
     features = Features.for_metric(metric)
 
