@@ -536,7 +536,14 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
 
     multi = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     out = flat(base)
-    use_multi = (ipf > 1)[:, None]
-    out = out.at[order].set(jnp.where(use_multi, multi, out[order]))
+    k = order.shape[0]
+    # Rows that keep their base value (ip == 1) redirect their scatter to
+    # DISTINCT dummy rows past the image instead of being merged through an
+    # ``out[order]`` gather — scatters/gathers cost per row, so the
+    # masked-merge gather was an extra k rows (and same-row redirects would
+    # bank-serialise, hence one dummy row each).
+    safe = jnp.where(ipf > 1, order, n_pix + jnp.arange(k, dtype=order.dtype))
+    out = jnp.concatenate([out, jnp.zeros((k, 3), out.dtype)], axis=0)
+    out = out.at[safe].set(multi)[:n_pix]
     out = jnp.where(jnp.isfinite(out), out, 0.0)
     return out.reshape(tex.shape[:-1] + (3,))
