@@ -480,34 +480,30 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     du = jnp.cos(theta) * line_length / np_f
     dv = jnp.sin(theta) * line_length / np_f
 
-    odd = (i_probes % 2) == 1
-    start_n = jnp.where(odd, -(i_probes - 1), -i_probes - 1)
-
-    sU = du / w0
-    sV = dv / h0
-
-    # ONE (k, 11) row gather instead of ten skinny per-field gathers:
-    # gathers cost per row fetched, and the per-field permutation gathers
-    # were a third of the shade stage.  side/start_n/i_probes are small
-    # ints — exact as f32.
+    # ONE (k, 8) row gather instead of per-field gathers: gathers cost per
+    # row AND saturate ~1 GB/s on wide rows, so derivable fields are
+    # recomputed from the gathered minimum instead of carried — sU/sV are
+    # du/dv times a static scale, start_n is a two-op function of
+    # i_probes, and major only appears as (du^2+dv^2)/major^2 (carried as
+    # the single ``q``).  side/i_probes are small ints — exact as f32.
+    q_ell = (du * du + dv * dv) / (major * major)
     fields = jnp.concatenate([
         flat(tex),                                     # 0, 1
         flat(side).astype(jnp.float32)[:, None],       # 2
         flat(lod)[:, None],                            # 3
         flat(du)[:, None], flat(dv)[:, None],          # 4, 5
-        flat(sU)[:, None], flat(sV)[:, None],          # 6, 7
-        flat(major)[:, None],                          # 8
-        flat(start_n).astype(jnp.float32)[:, None],    # 9
-        flat(i_probes).astype(jnp.float32)[:, None],   # 10
+        flat(q_ell)[:, None],                          # 6
+        flat(i_probes).astype(jnp.float32)[:, None],   # 7
     ], axis=-1)[order]
     texf = fields[:, 0:2]
     sidef = fields[:, 2].astype(jnp.int32)
     lodf = fields[:, 3]
     duf, dvf = fields[:, 4], fields[:, 5]
-    sUf, sVf = fields[:, 6], fields[:, 7]
-    majorf = fields[:, 8]
-    startf = fields[:, 9].astype(jnp.int32)
-    ipf = fields[:, 10].astype(jnp.int32)
+    sUf, sVf = duf * (1.0 / w0), dvf * (1.0 / h0)
+    qf = fields[:, 6]
+    ipf = fields[:, 7].astype(jnp.int32)
+    oddf = (ipf % 2) == 1
+    startf = jnp.where(oddf, -(ipf - 1), -ipf - 1)
 
     # Each segment runs only as many probe iterations as its budget grants
     # (its rows' i_probes are <= that by construction), so the gather count
@@ -520,9 +516,7 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
         for cnt in range(iters):
             nn = startf[sl] + 2 * cnt
             active = cnt < ipf[sl]
-            d2 = (nn.astype(jnp.float32) ** 2 / 4.0) * (
-                duf[sl] * duf[sl] + dvf[sl] * dvf[sl]
-            ) / (majorf[sl] * majorf[sl])
+            d2 = (nn.astype(jnp.float32) ** 2 / 4.0) * qf[sl]
             rel_w = jnp.where(active, jnp.exp(-alpha * d2), 0.0)
             cu = texf[sl, 0] + (nn.astype(jnp.float32) / 2.0) * sUf[sl]
             cv = texf[sl, 1] + (nn.astype(jnp.float32) / 2.0) * sVf[sl]
