@@ -346,6 +346,21 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
             nvel = nvel.at[2].set(0.0)
             nacc = nacc.at[2].set(0.0)
 
+        # Degenerate bail-out (IS_DEGENERATE, cl.cl:4234-4237) — a single
+        # isfinite on the TRIAL state's component sum (NaN/Inf propagate
+        # through +).  Tested BEFORE the commit (the reference tests after;
+        # same pixels die) so a dying ray keeps its last finite state AND
+        # a finite next_ds: carried state then never holds NaN/Inf, which
+        # the reverse-mode path needs — a committed NaN would feed every
+        # later step's primals and poison the backward sweep through
+        # zero-cotangent NaN products that where() cannot block.
+        probe = (npos[0] + npos[1] + npos[2] + npos[3]
+                 + nvel[0] + nvel[1] + nvel[2] + nvel[3]
+                 + nacc[0] + nacc[1] + nacc[2] + nacc[3])
+        bad = ~jnp.isfinite(probe)
+        status = jnp.where(active & bad, DEAD, status)
+        active = status == ACTIVE
+
         commit = active
         next_ds = state.next_ds
         if adaptive:
@@ -378,14 +393,6 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
         acc = jnp.where(cm, nacc, acc)
         rdl = jnp.where(commit, state.running_dlambda_dnew * K,
                         state.running_dlambda_dnew)
-
-        # Degenerate bail-out (IS_DEGENERATE, cl.cl:4234-4237) — a single
-        # isfinite on the component sum (NaN/Inf propagate through +).
-        probe = (pos[0] + pos[1] + pos[2] + pos[3]
-                 + vel[0] + vel[1] + vel[2] + vel[3]
-                 + acc[0] + acc[1] + acc[2] + acc[3])
-        bad = ~jnp.isfinite(probe)
-        status = jnp.where((status == ACTIVE) & bad, DEAD, status)
 
         out = _StateT(
             position=pos,

@@ -205,3 +205,49 @@ def test_grad_wrt_double_unequal_kerr_mass_matches_fd():
     )
     assert np.isfinite(float(g))
     np.testing.assert_allclose(float(g), float(fd), rtol=0.2, atol=5e-3)
+
+
+def test_grad_finite_with_dead_rays():
+    """Rays that die mid-trace (horizon capture, blowup kill) must not
+    poison the backward sweep: the integrator freezes a dying ray at its
+    last FINITE state (the trial-state probe runs before the commit), so
+    the remat-scan VJP stays NaN-free even when ~10% of the batch dies.
+    Regression for the pre-commit finiteness probe in make_step_fn."""
+    import dataclasses
+
+    from geodesic_raytracing_tpu.camera import Camera
+    from geodesic_raytracing_tpu.ops import integrate
+    from geodesic_raytracing_tpu.render import pipeline as pl
+
+    metric = metrics.get_metric("kerr_boyer")
+    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    feats = Features.for_metric(metric)
+    settings = pl.RenderSettings(
+        width=32, height=32, adaptive_sampling=False,
+        trace=TraceOptions(max_steps=2048, method="scan", remat_every=128),
+    )
+
+    def trace(params):
+        st, ku, _ = pl.init_camera_rays(
+            metric, camera, params,
+            dataclasses.replace(settings, planar=False), feats,
+        )
+        return integrate.trace_rays(metric, st, params, features=feats,
+                                    opts=settings.trace)
+
+    params = metric.params()
+    fin = trace(params)
+    s = np.asarray(fin.status)
+    assert (s == integrate.DEAD).sum() > 50, s  # the config must kill rays
+    assert np.all(np.isfinite(np.asarray(fin.position)))
+    assert np.all(np.isfinite(np.asarray(fin.velocity)))
+
+    def loss(params):
+        fin = trace(params)
+        ok = (fin.status == ESCAPED)[:, None]
+        val = jnp.where(ok, fin.velocity[:, 1:3], 0.0)
+        return jnp.sum(val ** 2)
+
+    g = jax.grad(loss)(params)
+    for k, v in g.items():
+        assert np.isfinite(float(v)), (k, v)
