@@ -16,6 +16,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Mosaic-safe inverse trig: to_polar transforms run INSIDE the Pallas
+# integrator kernel every step, and Mosaic does not lower atan2/acos
+# (see ops.geometry; enforced by tests/test_pallas_legal.py).
+from ..ops.geometry import arccos, arctan2
+
 Array = jax.Array
 
 
@@ -27,8 +32,8 @@ def cartesian_to_polar3(c: Array) -> Array:
     """(x, y, z) -> (r, theta, phi)."""
     x, y, z = c[..., 0], c[..., 1], c[..., 2]
     r = jnp.sqrt(x * x + y * y + z * z)
-    theta = jnp.arctan2(jnp.sqrt(x * x + y * y), z)
-    phi = jnp.arctan2(y, x)
+    theta = arctan2(jnp.sqrt(x * x + y * y), z)
+    phi = arctan2(y, x)
     return jnp.stack([r, theta, phi], axis=-1)
 
 
@@ -62,8 +67,8 @@ def cartesian_to_polar(x, params):
     """scripts/coordinates/cartesian_to_polar.js.  Componentwise (batch-safe)."""
     t, xx, y, z = x[0], x[1], x[2], x[3]
     r = jnp.sqrt(xx * xx + y * y + z * z)
-    theta = jnp.arctan2(jnp.sqrt(xx * xx + y * y), z)
-    phi = jnp.arctan2(y, xx)
+    theta = arctan2(jnp.sqrt(xx * xx + y * y), z)
+    phi = arctan2(y, xx)
     return jnp.stack([t, r, theta, phi])
 
 
@@ -80,8 +85,8 @@ def cartesian_skew_to_polar(x, params):
     """scripts/coordinates/cartesian_skew_to_polar.js — args are (x, t, y, z)."""
     xx, t, y, z = x[0], x[1], x[2], x[3]
     r = jnp.sqrt(xx * xx + y * y + z * z)
-    theta = jnp.arctan2(jnp.sqrt(xx * xx + y * y), z)
-    phi = jnp.arctan2(y, xx)
+    theta = arctan2(jnp.sqrt(xx * xx + y * y), z)
+    phi = arctan2(y, xx)
     return jnp.stack([t, r, theta, phi])
 
 
@@ -98,7 +103,7 @@ def cylindrical_to_polar(x, params):
     """scripts/coordinates/cylindrical_to_polar.js — (t, p, phi, z)."""
     t, p, phi, z = x[0], x[1], x[2], x[3]
     rr = jnp.sqrt(p * p + z * z)
-    rtheta = jnp.arctan2(p, z)
+    rtheta = arctan2(p, z)
     return jnp.stack([t, rr, rtheta, phi])
 
 
@@ -144,7 +149,7 @@ def polar_to_rational(x, params):
 def rational_to_polar(x, params):
     """scripts/coordinates/rational_to_polar.js."""
     t, r, X, phi = x[0], x[1], x[2], x[3]
-    return jnp.stack([t, r, jnp.arccos(jnp.clip(X, -1.0, 1.0)), phi])
+    return jnp.stack([t, r, arccos(jnp.clip(X, -1.0, 1.0)), phi])
 
 
 def skewed_polar_to_polar(x, params):
@@ -163,8 +168,8 @@ def misner_4d_to_polar(x, params):
     t = T * jnp.exp(mphi / 2) - jnp.exp(-mphi / 2)
     xx = T * jnp.exp(mphi / 2) + jnp.exp(-mphi / 2)
     r = jnp.sqrt(xx * xx + y * y + z * z)
-    theta = jnp.arctan2(jnp.sqrt(xx * xx + y * y), z)
-    phi = jnp.arctan2(y, xx)
+    theta = arctan2(jnp.sqrt(xx * xx + y * y), z)
+    phi = arctan2(y, xx)
     return jnp.stack([t, r, theta, phi])
 
 

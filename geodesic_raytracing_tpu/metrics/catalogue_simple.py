@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops import geometry
+
 from .base import Metric, diag_metric, make_config, register, sym_metric
 
 
@@ -264,7 +266,7 @@ def configurable_wormhole_fn(x, params):
     r = jnp.where(
         jnp.abs(l) <= a,
         p,
-        p + M * (xx * jnp.arctan(xx) - 0.5 * jnp.log1p(xx * xx)),
+        p + M * (xx * geometry.arctan(xx) - 0.5 * jnp.log1p(xx * xx)),
     )
     return diag_metric(-1.0, 1.0, r * r, r * r * st * st)
 
@@ -294,7 +296,7 @@ def ellis_drainhole_fn(x, params):
     r, theta = x[1], x[2]
     st = jnp.sin(theta)
     alpha = jnp.sqrt(n * n - m * m)
-    pseudophi = (n / alpha) * (jnp.pi / 2 - jnp.arctan2(r - m, alpha))
+    pseudophi = (n / alpha) * (jnp.pi / 2 - geometry.arctan2(r - m, alpha))
     Fp = -jnp.sqrt(1.0 - jnp.exp(-(2.0 * m / n) * pseudophi))
     Rp2 = ((r - m) * (r - m) + alpha * alpha) / (1.0 - Fp * Fp)
     return sym_metric(

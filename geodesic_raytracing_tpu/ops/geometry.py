@@ -51,6 +51,78 @@ def _recip_jvp(primals, tangents):
     return y, -y * y * dx
 
 
+# --- Mosaic-safe inverse trig ------------------------------------------------
+# Mosaic (Pallas TPU) implements sin/cos/tan/tanh/exp/log/log1p/pow/sqrt/
+# rsqrt but NOT atan/atan2/asin/acos (probed on v5e, jax 0.9).  Anything
+# reachable from the integrator step — metric functions, to_polar
+# transforms, origin distances — must use these instead of the jnp
+# originals.  tests/test_pallas_legal.py enforces that.  Exact custom JVPs
+# keep the derivative sweeps cheap and precise (the polynomial's own
+# derivative only approximates 1/(1+x^2)).
+
+_PI = 3.141592653589793
+_PI_2 = 1.5707963267948966
+_PI_4 = 0.7853981633974483
+
+
+@jax.custom_jvp
+def arctan(x: Array) -> Array:
+    """Mosaic-safe atan: cephes-style two-stage range reduction to
+    [0, tan(pi/8)] + odd minimax polynomial; ~2 ulp in fp32."""
+    ax = jnp.abs(x)
+    inv = ax > 1.0
+    t = jnp.where(inv, 1.0 / jnp.maximum(ax, 1e-37), ax)
+    red = t > 0.4142135623730951  # tan(pi/8)
+    u = jnp.where(red, (t - 1.0) / (t + 1.0), t)
+    z = u * u
+    p = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+          + 1.99777106478e-1) * z - 3.33329491539e-1) * z * u + u
+    y = jnp.where(red, p + _PI_4, p)
+    y = jnp.where(inv, _PI_2 - y, y)
+    return jnp.where(x < 0, -y, y)
+
+
+@arctan.defjvp
+def _arctan_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    return arctan(x), dx / (1.0 + x * x)
+
+
+@jax.custom_jvp
+def arctan2(y: Array, x: Array) -> Array:
+    """Mosaic-safe atan2 with numpy quadrant conventions."""
+    y, x = jnp.broadcast_arrays(y, x)
+    safe_x = jnp.where(x == 0.0, 1.0, x)
+    base = arctan(y / safe_x)
+    # x == 0: +-pi/2 by the sign of y (0 when y == 0 too).
+    base = jnp.where(
+        x == 0.0,
+        jnp.where(y > 0, _PI_2, jnp.where(y < 0, -_PI_2, 0.0)),
+        base,
+    )
+    corr = jnp.where(y < 0, -_PI, _PI)
+    return jnp.where(x < 0, base + corr, base)
+
+
+@arctan2.defjvp
+def _arctan2_jvp(primals, tangents):
+    y, x = primals
+    dy, dx = tangents
+    d = jnp.maximum(x * x + y * y, 1e-37)
+    return arctan2(y, x), (x * dy - y * dx) / d
+
+
+def arcsin(x: Array) -> Array:
+    """Mosaic-safe asin via atan2."""
+    return arctan2(x, jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)))
+
+
+def arccos(x: Array) -> Array:
+    """Mosaic-safe acos via atan2."""
+    return arctan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+
+
 def metric_and_partials(g: MetricFn, x: Array, params) -> tuple[Array, Array]:
     """Evaluate ``g`` and its coordinate partials at ``x``.
 

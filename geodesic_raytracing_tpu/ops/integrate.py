@@ -340,11 +340,14 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
                 deps=deps,
             )
         if opts.planar:
-            # IS_CONSTANT_THETA pins (cl.cl:3990-3995)
+            # IS_CONSTANT_THETA pins (cl.cl:3990-3995).  Iota-select, not
+            # .at[2].set — an indexed update lowers to a scatter, which
+            # Mosaic does not implement (and would be slow if it did).
+            is_theta = geometry.basis_vec4(2, npos) > 0
             half_pi = jnp.asarray(jnp.pi / 2, dtype=npos.dtype)
-            npos = npos.at[2].set(half_pi)
-            nvel = nvel.at[2].set(0.0)
-            nacc = nacc.at[2].set(0.0)
+            npos = jnp.where(is_theta, half_pi, npos)
+            nvel = jnp.where(is_theta, 0.0, nvel)
+            nacc = jnp.where(is_theta, 0.0, nacc)
 
         # Degenerate bail-out (IS_DEGENERATE, cl.cl:4234-4237) — a single
         # isfinite on the TRIAL state's component sum (NaN/Inf propagate

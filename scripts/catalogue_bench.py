@@ -25,7 +25,7 @@ DEFAULT_METRICS = (
     "schwarzschild_ingoing_ef",
     "ellis_drainhole",
     "alcubierre",
-    "interstellar_wormhole",
+    "wormhole (morris-thorne)",
     "kerr_schild",
 )
 

@@ -1,0 +1,68 @@
+"""Mosaic legality guard: the integrator step of EVERY metric must avoid
+primitives that Pallas TPU cannot lower.
+
+The Pallas kernel cannot be compiled on the CPU backend, so TPU lowering
+failures (``Unimplemented primitive ... atan2``/``scatter``) only surface
+on real hardware — this test scans the traced step jaxpr instead, which
+catches them in the CPU suite.  The banned set was probed on a v5e
+(jax 0.9): Mosaic implements sin/cos/tan/tanh/exp/log/log1p/pow/sqrt/
+rsqrt but not the rest, and indexed updates (``x.at[i].set``) lower to
+scatter.  Mosaic-safe replacements live in ops.geometry (arctan/arctan2/
+arcsin/arccos).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geodesic_raytracing_tpu.metrics import REGISTRY, get_metric
+from geodesic_raytracing_tpu.ops import integrate
+
+BANNED = {
+    "atan", "atan2", "asin", "acos",
+    "sinh", "cosh", "asinh", "acosh", "atanh",
+    "expm1", "cbrt", "erf", "erfc", "erf_inv",
+    "scatter", "scatter-add", "scatter-mul", "scatter-min", "scatter-max",
+    "gather", "sort",
+}
+
+
+def _prims(jaxpr, out):
+    for eq in jaxpr.eqns:
+        out.add(eq.primitive.name)
+        for p in eq.params.values():
+            if hasattr(p, "jaxpr"):
+                _prims(p.jaxpr, out)
+            if isinstance(p, (list, tuple)):
+                for q in p:
+                    if hasattr(q, "jaxpr"):
+                        _prims(q.jaxpr, out)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_step_fn_is_mosaic_legal(name):
+    metric = get_metric(name)
+    features = integrate.Features.for_metric(metric)
+    planar = bool(getattr(metric, "spherically_symmetric", False))
+    opts = integrate.TraceOptions(planar=planar)
+    N = 128
+    f_in_x = jnp.ones((N,))
+    step = integrate.make_step_fn(metric, features, opts, f_in_x)
+    params = metric.params()
+    st = integrate._StateT(
+        position=jnp.full((4, N), 3.0),
+        velocity=jnp.ones((4, N)),
+        acceleration=jnp.zeros((4, N)),
+        next_ds=jnp.full((N,), 0.01),
+        running_dlambda_dnew=jnp.ones((N,)),
+        status=jnp.zeros((N,), jnp.int32),
+        steps=jnp.zeros((N,), jnp.int32),
+    )
+    jaxpr = jax.make_jaxpr(lambda s: step(s, params))(st)
+    used = _prims(jaxpr.jaxpr, set())
+    bad = used & BANNED
+    assert not bad, (
+        f"{name}: step jaxpr contains Mosaic-illegal primitives {sorted(bad)}"
+        " — use the ops.geometry replacements"
+    )
