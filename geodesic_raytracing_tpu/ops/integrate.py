@@ -413,6 +413,62 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
     return step
 
 
+# Primitives Mosaic (Pallas TPU) cannot lower, probed on v5e / jax 0.9.
+# Kept in sync with tests/test_pallas_legal.py.
+_MOSAIC_BANNED = {
+    "atan", "atan2", "asin", "acos",
+    "sinh", "cosh", "asinh", "acosh", "atanh",
+    "expm1", "cbrt", "erf", "erfc", "erf_inv",
+    "scatter", "scatter-add", "scatter-mul", "scatter-min", "scatter-max",
+    "gather", "sort",
+}
+
+_PALLAS_COMPAT_CACHE: dict = {}
+
+
+def metric_pallas_compatible(metric: Metric) -> bool:
+    """True when the metric's step function lowers under Mosaic.
+
+    Scans the traced step jaxpr for unimplementable primitives and complex
+    dtypes (the double-Kerr family's Ernst potentials are complex64, which
+    Mosaic has no lanes for).  ``trace_rays`` silently falls back to the
+    XLA while driver for incompatible metrics — slower, but every
+    catalogue metric renders on TPU.
+    """
+    key = metric.name
+    if key in _PALLAS_COMPAT_CACHE:
+        return _PALLAS_COMPAT_CACHE[key]
+    n = 16
+    st = _StateT(
+        position=jnp.full((4, n), 3.0), velocity=jnp.ones((4, n)),
+        acceleration=jnp.zeros((4, n)), next_ds=jnp.full((n,), 0.01),
+        running_dlambda_dnew=jnp.ones((n,)),
+        status=jnp.zeros((n,), jnp.int32), steps=jnp.zeros((n,), jnp.int32),
+    )
+    step = make_step_fn(metric, Features.for_metric(metric), TraceOptions(),
+                        jnp.ones((n,)))
+    jaxpr = jax.make_jaxpr(lambda s: step(s, metric.params()))(st)
+
+    def scan(jx) -> bool:
+        for eq in jx.eqns:
+            if eq.primitive.name in _MOSAIC_BANNED:
+                return False
+            for v in list(eq.invars) + list(eq.outvars):
+                dt = getattr(getattr(v, "aval", None), "dtype", None)
+                if dt is not None and jnp.issubdtype(dt, jnp.complexfloating):
+                    return False
+            for p in eq.params.values():
+                subs = p if isinstance(p, (list, tuple)) else (p,)
+                for q in subs:
+                    if hasattr(q, "jaxpr") and not scan(q.jaxpr):
+                        return False
+        return True
+
+    ok = scan(jaxpr.jaxpr)
+    _PALLAS_COMPAT_CACHE[key] = ok
+    return ok
+
+
 def trace_rays(metric: Metric, state: RayState, params,
                features: Features = Features(),
                opts: TraceOptions = TraceOptions(),
@@ -427,6 +483,10 @@ def trace_rays(metric: Metric, state: RayState, params,
         ``lax.scan`` with ``jax.checkpoint`` every ``opts.remat_every`` steps;
         reverse-differentiable w.r.t. ``params`` and the initial state.
     """
+    if opts.method == "pallas" and not metric_pallas_compatible(metric):
+        # Complex-valued / Mosaic-illegal metrics (double-Kerr family) run
+        # the XLA whole-batch driver instead — slower, never wrong.
+        opts = dataclasses.replace(opts, method="while")
     if opts.method == "pallas":
         from .pallas import raymarch  # local import: avoids cycle
 

@@ -18,13 +18,13 @@ import pytest
 from geodesic_raytracing_tpu.metrics import REGISTRY, get_metric
 from geodesic_raytracing_tpu.ops import integrate
 
-BANNED = {
-    "atan", "atan2", "asin", "acos",
-    "sinh", "cosh", "asinh", "acosh", "atanh",
-    "expm1", "cbrt", "erf", "erfc", "erf_inv",
-    "scatter", "scatter-add", "scatter-mul", "scatter-min", "scatter-max",
-    "gather", "sort",
-}
+BANNED = integrate._MOSAIC_BANNED
+
+# The double-Kerr family's Ernst potentials are complex64 (no Mosaic
+# lanes); trace_rays transparently falls back to the XLA while driver for
+# them (metric_pallas_compatible).  Every other metric must stay
+# kernel-legal.
+COMPLEX_FALLBACK = {"double_kerr", "double_kerr_alt", "double_unequal_kerr"}
 
 
 def _prims(jaxpr, out):
@@ -43,6 +43,17 @@ def _prims(jaxpr, out):
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_step_fn_is_mosaic_legal(name):
     metric = get_metric(name)
+    compatible = integrate.metric_pallas_compatible(metric)
+    assert compatible == (name not in COMPLEX_FALLBACK), (
+        f"{name}: pallas compatibility changed — if this metric no longer "
+        "needs the while fallback, update COMPLEX_FALLBACK; if a previously "
+        "legal metric regressed, fix its Mosaic-illegal primitives"
+    )
+    if name in COMPLEX_FALLBACK:
+        return
+
+    # Also check the PLANAR variant (iota pins) for the symmetric metrics —
+    # metric_pallas_compatible only traces the default step.
     features = integrate.Features.for_metric(metric)
     planar = bool(getattr(metric, "spherically_symmetric", False))
     opts = integrate.TraceOptions(planar=planar)
