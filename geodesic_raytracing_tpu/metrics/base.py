@@ -328,9 +328,12 @@ def minkowski_plus(f, lv) -> Array:
     import jax
 
     g = f * lv[:, None] * lv[None, :]
-    i = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+    # Iotas at the FULL broadcast rank: reshaping a (4, 4) up to
+    # (4, 4, 1, 1) is a shape cast Mosaic cannot infer a layout for.
+    shape = (4, 4) + (1,) * (g.ndim - 2)
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     eta = jnp.where(
         i == j, jnp.where(i == 0, -1.0, 1.0), 0.0
     ).astype(g.dtype)
-    return g + eta.reshape((4, 4) + (1,) * (g.ndim - 2))
+    return g + eta

@@ -237,17 +237,18 @@ def acceleration_at(g: MetricFn, x: Array, v: Array, params) -> Array:
 
 def basis_vec4(c: int, x: Array) -> Array:
     """Coordinate basis vector e_c broadcastable against ``x`` of shape
-    (4, ...).  Built from a 2-D iota (no captured array constants) so it is
-    legal inside Pallas kernels."""
-    idx = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
-    idx = idx.reshape((4,) + (1,) * (x.ndim - 1))
+    (4, ...).  Built from an iota at the FULL broadcast rank (no captured
+    array constants, no post-hoc reshape — Mosaic rejects some unit-dim
+    shape casts) so it is legal inside Pallas kernels."""
+    shape = (4,) + (1,) * (x.ndim - 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     return (idx == c).astype(x.dtype)
 
 
 def select4(values, x: Array) -> Array:
     """A (4, 1, ..) constant vector from 4 python floats, Pallas-legal."""
-    idx = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
-    idx = idx.reshape((4,) + (1,) * (max(x.ndim, 1) - 1))
+    shape = (4,) + (1,) * (max(x.ndim, 1) - 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     out = jnp.zeros_like(idx, dtype=x.dtype)
     for c, v in enumerate(values):
         out = jnp.where(idx == c, jnp.asarray(v, dtype=x.dtype), out)
