@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.complexify import realify
+
 from .base import Metric, make_config, register, sym_metric
 
 
@@ -156,7 +158,7 @@ def double_kerr_fn(x, params):
 double_kerr = register(
     Metric(
         name="double_kerr",
-        fn=double_kerr_fn,
+        fn=realify(double_kerr_fn),
         config=make_config(
             "cylindrical_base",
             name="double_kerr",
@@ -305,7 +307,7 @@ def double_kerr_alt_fn(x, params):
 double_kerr_alt = register(
     Metric(
         name="double_kerr_alt",
-        fn=double_kerr_alt_fn,
+        fn=realify(double_kerr_alt_fn),
         config=make_config(
             "cylindrical_base",
             name="double_kerr_alt",
@@ -463,7 +465,7 @@ def double_unequal_kerr_fn(x, params):
 double_unequal_kerr = register(
     Metric(
         name="double_unequal_kerr",
-        fn=double_unequal_kerr_fn,
+        fn=realify(double_unequal_kerr_fn),
         config=make_config(
             "cylindrical_base",
             name="double_unequal_kerr",

@@ -20,11 +20,11 @@ from geodesic_raytracing_tpu.ops import integrate
 
 BANNED = integrate._MOSAIC_BANNED
 
-# The double-Kerr family's Ernst potentials are complex64 (no Mosaic
-# lanes); trace_rays transparently falls back to the XLA while driver for
-# them (metric_pallas_compatible).  Every other metric must stay
-# kernel-legal.
-COMPLEX_FALLBACK = {"double_kerr", "double_kerr_alt", "double_unequal_kerr"}
+# Metrics that need the XLA while fallback (metric_pallas_compatible
+# False).  The double-Kerr family's complex Ernst potentials are lowered
+# to real pairs by ops.complexify.realify, so the set is currently empty;
+# a user-pack metric with unlowered complex math would land here.
+COMPLEX_FALLBACK: set = set()
 
 
 def _prims(jaxpr, out):
