@@ -72,7 +72,11 @@ def main(argv=None) -> int:
     ap.add_argument("--cube", type=float, nargs=4, action="append",
                     default=[], metavar=("T", "X", "Y", "Z"),
                     help="place a unit cube object at this spacetime point "
-                         "(GR triangle rendering)")
+                         "(GR triangle rendering).  T must lie in the "
+                         "camera's PAST (e.g. -30): camera rays integrate "
+                         "backwards in time, and the object's worldline is "
+                         "traced forward from T, so a cube at T=0 never "
+                         "crosses any ray")
     ap.add_argument("--obj", action="append", default=[], metavar="SPEC",
                     help="place an .obj mesh: path,t,x,y,z[,scale]")
     ap.add_argument("--dump-hlo", metavar="FILE", default=None,

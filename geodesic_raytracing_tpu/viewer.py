@@ -114,13 +114,23 @@ def main(argv=None) -> int:
     from .render.pipeline import RenderSettings, render_frame
     from .utils.profiling import FrameTimer
 
+    import jax as _jax
+
     metric = metrics.get_metric(args.metric)
     params = metric.params()
     features = Features.for_metric(metric)
+    if _jax.default_backend() == "cpu":
+        trace = TraceOptions(max_steps=args.max_steps)
+    else:
+        # Production Pallas trace on TPU (the CPU backend only interprets
+        # Pallas) — same auto rule as cli.py.
+        from .bench_config import production_trace
+
+        trace = production_trace(max_steps=args.max_steps)
     settings = RenderSettings(
         width=args.width, height=args.height, fov_degrees=args.fov,
         anisotropy=2, trilinear=False,
-        trace=TraceOptions(max_steps=args.max_steps),
+        trace=trace,
     )
     backgrounds = bg.checker_background(512, 1024)
     camera = Camera.default().rotate(pitch=-np.pi / 2)
