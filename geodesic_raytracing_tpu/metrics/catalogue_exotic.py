@@ -35,6 +35,9 @@ def alcubierre_fn(x, params):
 alcubierre = register(
     Metric(
         name="alcubierre",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (0, 1), (1, 1), (2, 2), (3, 3)}),
         fn=alcubierre_fn,
         config=make_config(
             "cartesian_base",
@@ -85,6 +88,9 @@ def krasnikov_cartesian_fn(x, params):
 krasnikov_tube = register(
     Metric(
         name="krasnikov_tube",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (0, 1), (1, 1), (2, 2), (3, 3)}),
         fn=krasnikov_cartesian_fn,
         config=make_config(
             "cartesian_base",
@@ -126,6 +132,9 @@ def krasnikov_cylindrical_fn(x, params):
 krasnikov_cylindrical = register(
     Metric(
         name="krasnikov_cylindrical",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (0, 3), (1, 1), (2, 2), (3, 3)}),
         fn=krasnikov_cylindrical_fn,
         config=make_config(
             None,
@@ -161,6 +170,9 @@ def misner_4d_fn(x, params):
 misner_4d = register(
     Metric(
         name="misner_4d",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 1), (1, 1), (2, 2), (3, 3)}),
         fn=misner_4d_fn,
         config=make_config(
             None,
@@ -205,6 +217,9 @@ def godel_cylinder_fn(x, params):
 godel_cylindrical = register(
     Metric(
         name="godel_cylindrical",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (0, 2), (1, 1), (2, 2), (3, 3)}),
         fn=godel_cylinder_fn,
         config=make_config(
             "cylindrical_base",
@@ -239,6 +254,9 @@ def cosmic_string_spinning_fn(x, params):
 cosmic_string_spinning = register(
     Metric(
         name="cosmic_string_spinning",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (0, 1), (1, 1), (2, 2), (3, 3)}),
         fn=cosmic_string_spinning_fn,
         config=make_config(
             "cylindrical_base",

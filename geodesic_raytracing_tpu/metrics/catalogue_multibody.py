@@ -63,6 +63,9 @@ def double_schwarzschild_fn(x, params):
 double_schwarzschild = register(
     Metric(
         name="double_schwarzschild",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (1, 1), (2, 2), (3, 3)}),
         fn=double_schwarzschild_fn,
         config=make_config(
             "cylindrical_base",
@@ -158,6 +161,9 @@ def double_kerr_fn(x, params):
 double_kerr = register(
     Metric(
         name="double_kerr",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (0, 2), (1, 1), (2, 2), (3, 3)}),
         fn=realify(double_kerr_fn),
         config=make_config(
             "cylindrical_base",
@@ -307,6 +313,9 @@ def double_kerr_alt_fn(x, params):
 double_kerr_alt = register(
     Metric(
         name="double_kerr_alt",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (0, 2), (1, 1), (2, 2), (3, 3)}),
         fn=realify(double_kerr_alt_fn),
         config=make_config(
             "cylindrical_base",
@@ -465,6 +474,9 @@ def double_unequal_kerr_fn(x, params):
 double_unequal_kerr = register(
     Metric(
         name="double_unequal_kerr",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (0, 2), (1, 1), (2, 2), (3, 3)}),
         fn=realify(double_unequal_kerr_fn),
         config=make_config(
             "cylindrical_base",

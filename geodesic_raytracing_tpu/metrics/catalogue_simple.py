@@ -150,6 +150,9 @@ def schwarzschild_ingoing_ef_fn(x, params):
 schwarzschild_ingoing_ef = register(
     Metric(
         name="schwarzschild_ingoing_ef",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (0, 1), (2, 2), (3, 3)}),
         fn=schwarzschild_ingoing_ef_fn,
         config=make_config(
             "ingoing_ef_base",
@@ -188,6 +191,9 @@ def schwarzschild_ef_hawking_fn(x, params):
 schwarzschild_ingoing_ef_hawking = register(
     Metric(
         name="schwarzschild_ingoing_ef_hawking",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (0, 1), (2, 2), (3, 3)}),
         fn=schwarzschild_ef_hawking_fn,
         config=make_config(
             "ingoing_ef_variable_base",
@@ -313,6 +319,9 @@ def ellis_drainhole_fn(x, params):
 ellis_drainhole = register(
     Metric(
         name="ellis_drainhole",
+        # Trace-time structure (sym_metric keys); prunes the
+        # in-kernel inverse/contraction like the Kerr family.
+        structure=frozenset({(0, 0), (0, 1), (1, 1), (2, 2), (3, 3)}),
         fn=ellis_drainhole_fn,
         config=make_config(
             "polar_base",
