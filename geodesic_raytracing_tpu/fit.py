@@ -141,11 +141,14 @@ def _render_target(metric, camera, true_params, backgrounds, settings,
     )
     fin = integrate.trace_rays(metric, state, true_params, features=features,
                                opts=settings.trace)
+    # Same consumed-pixel rule as mesh.local_loss (grad_safe_final), so
+    # the target and the fit render compare like-for-like.
+    fin, consumed = pl.grad_safe_final(metric, state, fin, true_params,
+                                       features)
     rdata = pl.compute_render_data(metric, fin, ku, true_params, features)
     rgb = bgm.read_mipmap(backgrounds, rdata.side, rdata.tex_coord,
                           jnp.full(rdata.side.shape, 3.0))
-    rgb = jnp.where((rdata.terminated == integrate.ESCAPED)[..., None],
-                    rgb, 0.0)
+    rgb = jnp.where(consumed[..., None], rgb, 0.0)
     return rgb.reshape(settings.height, settings.width, 3)
 
 

@@ -296,6 +296,13 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
             jnp.minimum(ds, features.ambient_precision),
             0.1 * (abs_r - new_max) + features.ambient_precision,
         )
+        # Inactive lanes step with ds = 0: a lane frozen by the finiteness
+        # probe would otherwise recompute its non-finite trial (the one
+        # that killed it) every remaining iteration — masked in forward,
+        # but reverse mode multiplies those inf/NaN primals with the
+        # lane's zero cotangents and NaN-poisons the batch gradient.  At
+        # h = 0 the trial re-evaluates the frozen (finite) state instead.
+        ds = jnp.where(active, ds, jnp.zeros_like(ds))
 
         # Termination tests on the current position (cl.cl:4088-4130).
         escaped = jnp.abs(polar[1]) >= features.universe_size

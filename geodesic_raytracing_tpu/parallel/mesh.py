@@ -111,7 +111,8 @@ def sharded_render_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
 
 def make_train_step(metric: Metric, mesh: Mesh,
                     settings: pipeline.RenderSettings,
-                    features: Features | None = None):
+                    features: Features | None = None,
+                    grad_step_cap: int = 512):
     """Build a jitted DP training step: fit metric parameters to a target
     image by gradient descent through the (remat-scan) integrator.
 
@@ -158,8 +159,40 @@ def make_train_step(metric: Metric, mesh: Mesh,
         positions = jnp.broadcast_to(position, velocity.shape)
         state = integrate.init_ray_state(metric, positions, velocity, params,
                                          features)
+        # Two-pass differentiation: a stop-gradient probe trace finds the
+        # lanes whose trajectories poison reverse mode — rays that die
+        # (their one divergent trial evaluation feeds inf primals into the
+        # vjp even under zero cotangents) and rays winding past the
+        # Lyapunov step cap (tangents grow ~e^(2 pi) per photon-sphere
+        # orbit and overflow fp32).  Those lanes enter the differentiable
+        # scan pre-killed: they idle at their (regular) launch state and
+        # never evaluate the hazardous steps at all.  Costs one extra
+        # forward (~8% of the gradient step).
+        sg = jax.lax.stop_gradient
+        probe = integrate.trace_rays(
+            metric, jax.tree.map(sg, state), sg(params), features=features,
+            opts=opts,
+        )
+        polar_r = jnp.abs(
+            metric.to_polar(sg(probe.position.T), sg(params))[1]
+        )
+        keep = (
+            (probe.status == integrate.ESCAPED)
+            & (polar_r >= 0.5 * features.universe_size)
+            & (probe.steps <= grad_step_cap)
+        )
+        state = state._replace(
+            status=jnp.where(keep, state.status, integrate.DEAD)
+        )
         final = integrate.trace_rays(metric, state, params, features=features,
                                      opts=opts)
+        # Horizon-terminated endpoints sit where the metric is singular;
+        # their render-data evaluation NaN-poisons reverse mode (see
+        # pipeline.grad_safe_final) — substitute launch states and fit
+        # only the consumed (far-escaped) pixels.
+        final, consumed = pipeline.grad_safe_final(metric, state, final,
+                                                   params, features,
+                                                   step_cap=grad_step_cap)
         gab = metric.fn(position, params)
         ku = state.velocity @ (gab @ es[0])
         rdata = pipeline.compute_render_data(metric, final, ku, params,
@@ -171,9 +204,7 @@ def make_train_step(metric: Metric, mesh: Mesh,
             backgrounds, rdata.side, rdata.tex_coord,
             jnp.full(rdata.side.shape, 3.0),
         )
-        rgb = jnp.where(
-            (rdata.terminated == integrate.ESCAPED)[..., None], rgb, 0.0
-        )
+        rgb = jnp.where(consumed[..., None], rgb, 0.0)
         return jnp.sum((rgb - target_slice) ** 2) / n_rays
 
     @functools.partial(

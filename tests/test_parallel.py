@@ -86,3 +86,43 @@ def test_distributed_train_step_reduces_loss():
     assert np.all(np.isfinite(np.asarray(new_params["rs"])))
     # The parameter moved.
     assert abs(float(new_params["rs"]) - 1.0) > 0
+
+
+def test_train_step_grad_finite_at_scale():
+    """Regression: the 128^2/1024-step Kerr fit NaN'd its parameter
+    gradient before the two-pass pre-kill (dying rays' divergent trial
+    evaluations feed inf primals into reverse mode; photon-ring rays past
+    the Lyapunov step cap overflow fp32 tangents).  Two optimisation
+    steps through the exact failing configuration must stay finite and
+    reduce the loss."""
+    import numpy as np
+
+    from geodesic_raytracing_tpu import metrics
+    from geodesic_raytracing_tpu.camera import Camera
+    from geodesic_raytracing_tpu.fit import _render_target
+    from geodesic_raytracing_tpu.ops.integrate import Features, TraceOptions
+    from geodesic_raytracing_tpu.parallel.mesh import make_train_step, ray_mesh
+    from geodesic_raytracing_tpu.render import background as bg
+    from geodesic_raytracing_tpu.render.pipeline import RenderSettings
+
+    metric = metrics.get_metric("kerr_boyer")
+    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    backgrounds = bg.checker_background(128, 256)
+    mesh = ray_mesh(jax.devices()[:1])
+    settings = RenderSettings(
+        width=128, height=128,
+        trace=TraceOptions(max_steps=1024, method="scan", remat_every=128),
+    )
+    features = Features.for_metric(metric)
+    step = make_train_step(metric, mesh, settings, features)
+    true_params = metric.params(rs=1.1)
+    target = _render_target(metric, camera, true_params, backgrounds,
+                            settings, features)
+    params = metric.params(rs=0.95)
+    losses = []
+    for _ in range(2):
+        params, loss = step(params, camera, target, backgrounds,
+                            jnp.float32(0.05))
+        losses.append(float(loss))
+        assert all(np.isfinite(float(v)) for v in params.values()), params
+    assert losses[1] < losses[0]
