@@ -92,6 +92,12 @@ class TraceOptions:
     remat_every: int = 128  # checkpoint window for method="scan"
     unroll: int = 1
     tile: int = 1024  # ray tile size for method="pallas"
+    # Tiles per Pallas grid step.  Each tile still runs its own while loop
+    # (its iteration bound tracks ITS slowest ray), but block_tiles of them
+    # share one grid step's fixed Mosaic overhead (~60-70 us/grid step
+    # measured) — so the pack granularity can drop below the 2048 sweet
+    # spot without paying proportionally more grid steps.
+    block_tiles: int = 1
     # Pallas kernel: test the tile's any(active) exit condition every this
     # many steps (cross-lane reduction; larger amortises it, at up to
     # check_every-1 wasted masked steps per tile).

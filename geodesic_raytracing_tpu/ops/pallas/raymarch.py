@@ -83,7 +83,8 @@ def _bucket_partition(dead: Array, cost: Array | None):
 
 def pack_tiles(state: RayState, tile: int,
                sort_key: Array | None = None,
-               f_in_x: Array | None = None):
+               f_in_x: Array | None = None,
+               block_tiles: int = 1):
     """Bucket-partition + tile-pack a RayState for the kernel.
 
     Pre-trace compaction: dead rays (prepass-killed, refinement-masked)
@@ -92,12 +93,18 @@ def pack_tiles(state: RayState, tile: int,
 
     Returns ``(packed, inv_perm, n)`` — ``packed`` is the kernel's single
     (n_tiles, 17, 8, lanes) input block; see the row layout below.
+    ``block_tiles``: pad the tile count to a multiple of it (the kernel
+    processes that many tiles per grid step; padding tiles are all-DEAD
+    and exit after one iteration).
     """
     assert tile % SUBLANES == 0, "tile must be a multiple of 8"
     lanes = tile // SUBLANES
     n = state.position.shape[0]
     n_pad = -(-n // tile) * tile
     n_tiles = n_pad // tile
+    if block_tiles > 1:
+        n_tiles = -(-n_tiles // block_tiles) * block_tiles
+        n_pad = n_tiles * tile
 
     dead = state.status != integrate.ACTIVE
     perm, inv_perm = _bucket_partition(
@@ -160,63 +167,82 @@ def launch(metric: Metric, packed, params, features: Features,
            opts: TraceOptions, interpret: bool = False):
     """The pallas_call itself over the single pre-packed tile operand.
 
-    One input block (1, 17, 8, lanes) and one output block (1, 16, 8,
-    lanes) per grid step: each separate buffer costs a fixed DMA latency
-    per tile, and with 33 buffers that overhead (~60-70 us/tile) dominated
-    small tiles."""
+    One input block (block_tiles, 17, 8, lanes) and one output block
+    (block_tiles, 16, 8, lanes) per grid step: each separate buffer costs a
+    fixed DMA latency per tile, and with 33 buffers that overhead
+    (~60-70 us/tile) dominated small tiles.  With block_tiles > 1 several
+    tiles share one grid step — each runs its own while loop (per-tile
+    early exit), so the pack granularity drops below the grid-step-overhead
+    sweet spot."""
     n_tiles, _, _, lanes = packed.shape
+    block_tiles = max(int(opts.block_tiles), 1)
+    assert n_tiles % block_tiles == 0, (n_tiles, block_tiles)
 
     pkeys, pvec = _flatten_params(params)
     fvec = jnp.stack([jnp.asarray(v, dtype=jnp.float32) for v in features])
 
-    grid = (n_tiles,)
+    grid = (n_tiles // block_tiles,)
 
     def kernel(pvec_ref, fvec_ref, in_ref, out_ref):
         kparams = {k: pvec_ref[i] for i, k in enumerate(pkeys)}
         kfeatures = Features(*(fvec_ref[i] for i in range(len(features))))
 
-        blk = in_ref[0]  # (17, 8, lanes)
-        st0 = _StateT(
-            position=blk[0:4],
-            velocity=blk[4:8],
-            acceleration=blk[8:12],
-            next_ds=blk[12],
-            running_dlambda_dnew=blk[13],
-            status=blk[14].astype(jnp.int32),
-            steps=blk[15].astype(jnp.int32),
-        )
-        step = integrate.make_step_fn(metric, kfeatures, opts, blk[16])
-
-        # The any(active) exit test is a cross-lane reduction; checking it
-        # every CHECK_EVERY steps amortises its cost (terminated rays are
-        # masked, so the overshoot steps are no-ops).
-        CHECK_EVERY = opts.check_every
-        n_outer = -(-opts.max_steps // CHECK_EVERY)
-
-        def cond(carry):
-            i, s = carry
-            return (i < n_outer) & jnp.any(s.status == integrate.ACTIVE)
-
-        def body(carry):
-            i, s = carry
-            # Mosaic supports only unroll=1 or full unroll of the inner
-            # fori_loop; opts.unroll > 1 requests the full unroll (removes
-            # per-step loop bookkeeping, lets the scheduler pipeline across
-            # steps, at the cost of a CHECK_EVERY-times larger program).
-            s = jax.lax.fori_loop(
-                0, CHECK_EVERY, lambda _, ss: step(ss, kparams), s,
-                unroll=CHECK_EVERY if int(opts.unroll) > 1 else 1,
+        def run_tile(blk):
+            # blk: (17, 8, lanes) — one tile's packed state.
+            st0 = _StateT(
+                position=blk[0:4],
+                velocity=blk[4:8],
+                acceleration=blk[8:12],
+                next_ds=blk[12],
+                running_dlambda_dnew=blk[13],
+                status=blk[14].astype(jnp.int32),
+                steps=blk[15].astype(jnp.int32),
             )
-            return i + 1, s
+            step = integrate.make_step_fn(metric, kfeatures, opts, blk[16])
 
-        _, fin = jax.lax.while_loop(cond, body, (jnp.int32(0), st0))
+            # The any(active) exit test is a cross-lane reduction; checking
+            # it every CHECK_EVERY steps amortises its cost (terminated rays
+            # are masked, so the overshoot steps are no-ops).
+            CHECK_EVERY = opts.check_every
+            n_outer = -(-opts.max_steps // CHECK_EVERY)
 
-        out_ref[0] = jnp.concatenate([
-            fin.position, fin.velocity, fin.acceleration,
-            fin.next_ds[None], fin.running_dlambda_dnew[None],
-            fin.status.astype(jnp.float32)[None],
-            fin.steps.astype(jnp.float32)[None],
-        ], axis=0)
+            def cond(carry):
+                i, s = carry
+                return (i < n_outer) & jnp.any(s.status == integrate.ACTIVE)
+
+            def body(carry):
+                i, s = carry
+                # Mosaic supports only unroll=1 or full unroll of the inner
+                # fori_loop; opts.unroll > 1 requests the full unroll
+                # (removes per-step loop bookkeeping, lets the scheduler
+                # pipeline across steps, at the cost of a CHECK_EVERY-times
+                # larger program).
+                s = jax.lax.fori_loop(
+                    0, CHECK_EVERY, lambda _, ss: step(ss, kparams), s,
+                    unroll=CHECK_EVERY if int(opts.unroll) > 1 else 1,
+                )
+                return i + 1, s
+
+            _, fin = jax.lax.while_loop(cond, body, (jnp.int32(0), st0))
+
+            return jnp.concatenate([
+                fin.position, fin.velocity, fin.acceleration,
+                fin.next_ds[None], fin.running_dlambda_dnew[None],
+                fin.status.astype(jnp.float32)[None],
+                fin.steps.astype(jnp.float32)[None],
+            ], axis=0)
+
+        if block_tiles == 1:
+            out_ref[0] = run_tile(in_ref[0])
+        else:
+            # One while loop per tile, chained by a fori over the block's
+            # tiles (dynamic leading-dim indexing is a plain VMEM address
+            # offset — untiled dimension).
+            def chunk(c, carry):
+                out_ref[c] = run_tile(in_ref[c])
+                return carry
+
+            jax.lax.fori_loop(0, block_tiles, chunk, jnp.int32(0))
 
     return pl.pallas_call(
         kernel,
@@ -224,10 +250,11 @@ def launch(metric: Metric, packed, params, features: Features,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params vector
             pl.BlockSpec(memory_space=pltpu.SMEM),  # features vector
-            pl.BlockSpec((1, 17, SUBLANES, lanes), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((block_tiles, 17, SUBLANES, lanes),
+                         lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 16, SUBLANES, lanes),
+        out_specs=pl.BlockSpec((block_tiles, 16, SUBLANES, lanes),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 16, SUBLANES, lanes),
@@ -252,6 +279,7 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
     count).  A tile runs until its slowest ray finishes, so grouping rays of
     similar cost makes tile_max track tile_mean instead of the global tail.
     """
-    packed, inv_perm, n = pack_tiles(state, tile, sort_key, f_in_x)
+    packed, inv_perm, n = pack_tiles(state, tile, sort_key, f_in_x,
+                                     block_tiles=max(opts.block_tiles, 1))
     outs = launch(metric, packed, params, features, opts, interpret=interpret)
     return unpack_tiles(outs, inv_perm, n)

@@ -340,8 +340,6 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     equal anisotropy budget.  Empty = one segment: the top third of pixels
     at the full ``max_probes``.
     """
-    H, W, _ = tex.shape
-
     tl = tex
     tr = jnp.concatenate([tex[:, 1:], tex[:, -2:-1]], axis=1)
     bl = jnp.concatenate([tex[1:], tex[-2:-1]], axis=0)
@@ -352,6 +350,32 @@ def sample_anisotropic(bgr: Background, tex: Array, side: Array,
     dx_vtc = _circular_diff(tl, tr) / bias_frac
     dy_vtc = _circular_diff(tl, bl) / bias_frac
 
+    n_pix = int(np.prod(tex.shape[:-1]))
+    out = sample_anisotropic_flat(
+        bgr, tex.reshape(n_pix, 2), side.reshape(n_pix),
+        dx_vtc.reshape(n_pix, 2), dy_vtc.reshape(n_pix, 2),
+        max_probes=max_probes, trilinear=trilinear,
+        probe_bilinear=probe_bilinear,
+        live=None if live is None else live.reshape(n_pix),
+        probe_segments=probe_segments, base_point=base_point,
+    )
+    return out.reshape(tex.shape[:-1] + (3,))
+
+
+def sample_anisotropic_flat(bgr: Background, tex: Array, side: Array,
+                            dx_vtc: Array, dy_vtc: Array,
+                            max_probes: int = 16,
+                            trilinear: bool = True,
+                            probe_bilinear: bool = False,
+                            live: Array | None = None,
+                            probe_segments: tuple = (),
+                            base_point: bool = False) -> Array:
+    """EWA filtering over a FLAT pixel set with caller-supplied screen-space
+    uv derivatives (already bias-scaled) — the traced-only shade path feeds
+    quarter-grid and refine-ray sets whose neighbours are not screen-adjacent
+    rows of one image.  ``tex``/``dx_vtc``/``dy_vtc``: (N, 2); ``side``:
+    (N,).  Returns (N, 3).  See :func:`sample_anisotropic` for semantics.
+    """
     w0 = float(bgr.level_w[0])
     h0 = float(bgr.level_h[0])
     du_dx = dx_vtc[..., 0] * w0

@@ -77,6 +77,20 @@ class RenderSettings:
     # ((frac, iters), ...) — see background.sample_anisotropic.  Empty =
     # one segment, the top third of pixels at the full anisotropy budget.
     probe_segments: tuple = ()
+    # Shade only the traced rays (quarter grid + refined blocks) and
+    # bilinearly interpolate RGB for blocks that passed the angular-error
+    # test, instead of assembling full-res render data and shading every
+    # pixel.  The reference interpolates pre-shading data and shades every
+    # pixel (cl.cl:5223-5344 then 5453-5687); on TPU the shade stage is
+    # gather-engine-bound (~40% of the frame at full res), and a block
+    # smooth enough to interpolate render data across is smooth enough to
+    # interpolate RGB across — so the gathers run only for traced rays.
+    shade_traced_only: bool = True
+    # Probe schedule for the refine-ray shade set under shade_traced_only.
+    # Refined blocks concentrate at terminator edges and high-warp regions,
+    # so their probe demand is far above the image-wide distribution; empty
+    # derives a schedule from probe_segments with 4x the fractions.
+    refine_probe_segments: tuple = ()
     # Constant-theta planar tracing for spherically symmetric metrics
     # (exact by symmetry; GENERIC_CONSTANT_THETA).
     planar: bool = True
@@ -648,20 +662,15 @@ class RefineBudgetController:
             self._down = 0
 
 
-def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
-                         settings: RenderSettings, features: Features,
-                         controller: RefineBudgetController | None = None,
-                         ) -> RenderData:
-    """Quarter-density trace + error-driven refinement + optional prepass.
+def _adaptive_trace(metric: Metric, camera: cam.Camera, params,
+                    settings: RenderSettings, features: Features,
+                    controller: RefineBudgetController | None = None):
+    """The adaptive pipeline's trace half: prepass + quarter trace +
+    budgeted refinement selection + refine trace.
 
-    The reference's atomic variable-length refinement list (cl.cl:5294)
-    becomes a budgeted top-k block batch (``refine_budget``; 1.0 = every
-    block, masked), optionally demand-sized across frames by a
-    :class:`RefineBudgetController`.  The frame is exactly 4-6 XLA programs
-    chained from the host — prepass, quarter setup, quarter trace (Pallas),
-    refine setup, refine trace (Pallas), finish — because every un-jitted
-    jnp glue op is its own tiny program, and at ~50 ms of axon-tunnel issue
-    latency each the glue dominated the frame before fusion.
+    Returns ``(qr, should, sel, dest, rstate, rku, riquat, k)`` — the
+    operands of a finish stage (:func:`_finish_jit` for full-res render
+    data, :func:`_finish_shade_jit` for traced-only RGB).
     """
     W, H = settings.width, settings.height
     assert W % 2 == 0 and H % 2 == 0, "adaptive sampling needs even dims"
@@ -704,7 +713,8 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
         k = max(min(nq, 1024), (int(nq * frac) // 8) * 8)
     (qr, should, demand, sel, dest, rstate, rku, riquat, rf_in_x,
      rcost) = _refine_setup_jit(metric, camera, params, settings, features,
-                                state, ku, iquat, k, prev_r)
+                                state, ku, iquat, k, prev_r,
+                                exact_keys=reuse)
     if controller is not None:
         controller.observe(demand)
         controller.qsteps = qr.steps
@@ -712,11 +722,57 @@ def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
         controller.stream_key = key
     rstate = _trace_phases(metric, rstate, params, settings, features, rcost,
                            rf_in_x)
+    return qr, should, sel, dest, rstate, rku, riquat, k
+
+
+def render_data_adaptive(metric: Metric, camera: cam.Camera, params,
+                         settings: RenderSettings, features: Features,
+                         controller: RefineBudgetController | None = None,
+                         ) -> RenderData:
+    """Quarter-density trace + error-driven refinement + optional prepass.
+
+    The reference's atomic variable-length refinement list (cl.cl:5294)
+    becomes a budgeted top-k block batch (``refine_budget``; 1.0 = every
+    block, masked), optionally demand-sized across frames by a
+    :class:`RefineBudgetController`.  The frame is exactly 4-6 XLA programs
+    chained from the host — prepass, quarter setup, quarter trace (Pallas),
+    refine setup, refine trace (Pallas), finish — because every un-jitted
+    jnp glue op is its own tiny program, and at ~50 ms of axon-tunnel issue
+    latency each the glue dominated the frame before fusion.
+    """
+    qr, should, sel, dest, rstate, rku, riquat, k = _adaptive_trace(
+        metric, camera, params, settings, features, controller)
     rdata, rsteps = _finish_jit(metric, rstate, rku, riquat, params, features,
                                 qr, should, sel, dest, settings, k)
     if controller is not None:
         controller.rsteps = rsteps
     return rdata
+
+
+def render_frame_adaptive(metric: Metric, camera: cam.Camera, params,
+                          backgrounds: bg.Background,
+                          settings: RenderSettings, features: Features,
+                          controller: RefineBudgetController | None = None,
+                          ) -> Array:
+    """Adaptive frame with traced-only shading: the quarter grid and the k
+    refined blocks' rays are shaded directly off their render data; blocks
+    that passed the angular-error test get bilinear RGB interpolation from
+    the quarter corners instead of per-pixel background gathers.
+
+    The reference interpolates render data and shades every pixel
+    (cl.cl:5223-5344, 5453-5687) because its texture units make shading
+    nearly free; on TPU every shaded pixel is 1-2 HBM gather rows and the
+    full-res shade was ~40% of the frame, so the gathers run only where a
+    ray was actually traced (~nq + 3k pixels instead of 4nq).
+    """
+    qr, should, sel, dest, rstate, rku, riquat, k = _adaptive_trace(
+        metric, camera, params, settings, features, controller)
+    img, rsteps = _finish_shade_jit(metric, rstate, rku, riquat, params,
+                                    features, qr, should, sel, dest,
+                                    backgrounds, settings, k)
+    if controller is not None:
+        controller.rsteps = rsteps
+    return img
 
 
 def _qcoords(settings: RenderSettings):
@@ -773,14 +829,19 @@ def _quarter_setup_jit(metric: Metric, camera: cam.Camera, params,
     if dead is not None:
         kill = _prepass_kill(dead, W, H, W // 2, H // 2)
         qcost = _prepass_cost(psteps, W, H, W // 2, H // 2)
-    if prev_qterm is not None:
+    reuse = prev_qterm is not None
+    if reuse:
         dg = (prev_qterm == integrate.DEAD).reshape(H // 2, W // 2)
         d5 = (_shift2d(dg, 0, -1, False) & dg & _shift2d(dg, 0, 1, False)
               & _shift2d(dg, -1, 0, False) & _shift2d(dg, 1, 0, False))
         kill = d5.reshape(-1)
     if prev_qsteps is not None:
         pg = prev_qsteps.reshape(H // 2, W // 2).astype(jnp.float32)
-        qcost = _local_max3x3(pg).reshape(-1)
+        # Identical stream (prev_qterm supplied): last frame's measured
+        # per-ray step counts ARE the packing oracle — the 3x3 local max
+        # exists only to absorb camera motion and costs x1.2 vs the
+        # oracle's x1.05 executed-iteration waste (scripts/stage_bench.py).
+        qcost = pg.reshape(-1) if reuse else _local_max3x3(pg).reshape(-1)
     state, ku, iquat = _init_rays(metric, camera, params, settings, features,
                                   qcx, qcy, kill)
     f_in_x = jnp.abs(state.velocity[:, 0])
@@ -790,11 +851,13 @@ def _quarter_setup_jit(metric: Metric, camera: cam.Camera, params,
 _REFINE_OFFSETS = ((1, 0), (0, 1), (1, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "settings", "k"))
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "settings", "k", "exact_keys"))
 def _refine_setup_jit(metric: Metric, camera: cam.Camera, params,
                       settings: RenderSettings, features: Features,
                       qstate, qku, qiquat, k: int,
-                      prev_rsteps: Array | None = None):
+                      prev_rsteps: Array | None = None,
+                      exact_keys: bool = False):
     """Quarter render-data + top-k block selection + refine-ray init, fused
     into one program (handle_adaptive_sampling's decision half,
     cl.cl:5240-5294)."""
@@ -815,11 +878,14 @@ def _refine_setup_jit(metric: Metric, camera: cam.Camera, params,
     if prev_rsteps is not None:
         # Blocks refined last frame carry their own measured refine step
         # counts (controller feedback) — exact under temporal coherence; a
-        # 3x3 block-neighbourhood max absorbs small motion.  Blocks without
-        # a measurement (rsteps 0) keep the quarter-neighbour estimate.
+        # 3x3 block-neighbourhood max absorbs small motion, dropped on an
+        # identical stream (exact_keys) where the measurement IS the oracle.
+        # Blocks without a measurement (rsteps 0) keep the quarter-neighbour
+        # estimate.
         pg = prev_rsteps.reshape(Hh, Wh).astype(jnp.float32)
+        key = pg if exact_keys else _local_max3x3(pg)
         qcost_exact = jnp.where(pg.reshape(-1) > 0,
-                                _local_max3x3(pg).reshape(-1), qcost_exact)
+                                key.reshape(-1), qcost_exact)
 
     should, sel, dest = _select_refine_blocks(qg, settings, k)
     # Demand fraction for the budget controller — computed here so it costs
@@ -898,6 +964,130 @@ def _finish_jit(metric: Metric, rstate, rku, riquat, params,
     rsteps = jnp.maximum(jnp.maximum(wide[:, 7], wide[:, 15]), wide[:, 23])
     return _adaptive_assemble(qg, part(0), part(1), part(2), traced_ok,
                               settings), rsteps
+
+
+def _shade_set(rdata_tex, rdata_side, rdata_z, rdata_term, dx, dy,
+               backgrounds: bg.Background, settings: RenderSettings,
+               segments: tuple) -> Array:
+    """Shade one flat traced-ray set: EWA sample + redshift + black mask.
+    ``dx``/``dy``: (N, 2) screen-space uv derivatives in FULL-RES pixel
+    units (already bias-scaled)."""
+    live = rdata_term == integrate.ESCAPED
+    rgb = bg.sample_anisotropic_flat(
+        backgrounds, rdata_tex, rdata_side, dx, dy,
+        max_probes=settings.anisotropy, trilinear=settings.trilinear,
+        probe_bilinear=settings.probe_bilinear, live=live,
+        probe_segments=segments,
+    )
+    if settings.redshift:
+        rgb = colour.apply_redshift(rgb, rdata_z,
+                                    dominant_colour=settings.dominant_colour,
+                                    old=settings.old_redshift)
+    return jnp.where(live[:, None], rgb, 0.0)
+
+
+def _refine_segments(settings: RenderSettings) -> tuple:
+    """Probe schedule for the refine shade set: explicit override, or the
+    image-wide schedule with 4x fractions (refined blocks concentrate where
+    tex derivatives are large, so their probe demand is several times the
+    image-wide rate; 4x measured close to the true refine-set demand on the
+    flagship Kerr frame)."""
+    if settings.refine_probe_segments:
+        return settings.refine_probe_segments
+    acc = 0.0
+    out = []
+    for frac, iters in settings.probe_segments:
+        f = min(4.0 * float(frac), 1.0 - acc)
+        if f <= 0.0:
+            break
+        out.append((f, iters))
+        acc += f
+    return tuple(out)
+
+
+_BIAS_FRAC = 1.3  # sample_anisotropic's default derivative bias
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "settings", "k"))
+def _finish_shade_jit(metric: Metric, rstate, rku, riquat, params,
+                      features: Features, qr: RenderData, should: Array,
+                      sel: Array, dest: Array, backgrounds: bg.Background,
+                      settings: RenderSettings, k: int):
+    """Traced-only finish: refine render-data + quarter/refine shading +
+    RGB scatter-back + full-res RGB assembly, fused into one program.
+
+    Shading needs screen-space uv derivatives for the EWA ellipse
+    (cl.cl:5524-5556).  The quarter grid takes half its quarter-neighbour
+    circular diff (adjacent quarter pixels are 2 full-res pixels apart —
+    the same value the full-res path derives at a quarter corner from its
+    interpolated midpoint neighbour).  A refined block [q r0; r1 r2] has
+    all four of its rays' tex coords available, so each refine ray takes
+    intra-block forward differences — 1-pixel steps, no cross-block data.
+    """
+    Wh, Hh = settings.width // 2, settings.height // 2
+    nq = Wh * Hh
+    rr = compute_render_data(metric, rstate, rku, params, features,
+                             inv_quat=riquat)
+
+    # --- quarter shade ---
+    qtex = qr.tex_coord.reshape(Hh, Wh, 2)
+    nbr_r = jnp.concatenate([qtex[:, 1:], qtex[:, -2:-1]], axis=1)
+    nbr_d = jnp.concatenate([qtex[1:], qtex[-2:-1]], axis=0)
+    scale = 0.5 / _BIAS_FRAC
+    dxq = (bg._circular_diff(qtex, nbr_r) * scale).reshape(nq, 2)
+    dyq = (bg._circular_diff(qtex, nbr_d) * scale).reshape(nq, 2)
+    rgb_q = _shade_set(qr.tex_coord, qr.side, qr.z_shift, qr.terminated,
+                       dxq, dyq, backgrounds, settings,
+                       settings.probe_segments)
+
+    # --- refine shade (3k rays: offsets (1,0), (0,1), (1,1)) ---
+    tq = qr.tex_coord[sel]                       # (k, 2) block corners
+    t0, t1, t2 = (rr.tex_coord[0:k], rr.tex_coord[k:2 * k],
+                  rr.tex_coord[2 * k:3 * k])
+    cd = bg._circular_diff
+    dxr = jnp.concatenate([cd(tq, t0), cd(t1, t2), cd(t1, t2)]) / _BIAS_FRAC
+    dyr = jnp.concatenate([cd(t0, t2), cd(tq, t1), cd(t0, t2)]) / _BIAS_FRAC
+    rgb_r = _shade_set(rr.tex_coord, rr.side, rr.z_shift, rr.terminated,
+                       dxr, dyr, backgrounds, settings,
+                       _refine_segments(settings))
+
+    # --- scatter the k traced blocks' RGB back to the quarter grid ---
+    # ONE (k, 12) row scatter (cf. _finish_jit): 3 offsets x RGB + the three
+    # refine step counts (packing feedback).
+    ok = dest < k
+    packed = jnp.concatenate([
+        rgb_r[0:k], rgb_r[k:2 * k], rgb_r[2 * k:3 * k],        # 0..8
+        rr.steps.astype(jnp.float32).reshape(3, k).T,          # 9..11
+    ], axis=1)
+    wide = jnp.zeros((nq, 12), jnp.float32).at[sel].set(
+        packed, indices_are_sorted=False, unique_indices=True,
+    )
+    rsteps = jnp.maximum(jnp.maximum(wide[:, 9], wide[:, 10]), wide[:, 11])
+
+    # --- assembly: traced RGB where refined, RGB interpolation elsewhere ---
+    qrgb = rgb_q.reshape(Hh, Wh, 3)
+    qesc = (qr.terminated == integrate.ESCAPED).reshape(Hh, Wh, 1)
+    traced_ok = (should & ok.reshape(Hh, Wh))[..., None]
+
+    def interp(dy, dx):
+        # Midpoint RGB; the centre's terminated flag decides black
+        # (cl.cl:5111-5133 carries the centre's flag for interpolated data).
+        nb = jnp.roll(qrgb, (-dy, -dx), axis=(0, 1))
+        return jnp.where(qesc, 0.5 * (qrgb + nb), 0.0)
+
+    def part(i):
+        return wide[:, 3 * i:3 * i + 3].reshape(Hh, Wh, 3)
+
+    cell_r = jnp.where(traced_ok, part(0), interp(0, 1))
+    cell_d = jnp.where(traced_ok, part(1), interp(1, 0))
+    cell_dr = jnp.where(traced_ok, part(2), interp(1, 1))
+
+    # Interleave via stack+reshape (see _adaptive_assemble).
+    top = jnp.stack([qrgb, cell_r], axis=2)
+    bot = jnp.stack([cell_d, cell_dr], axis=2)
+    rows = jnp.stack([top, bot], axis=1)          # (Hh, 2, Wh, 2, 3)
+    img = rows.reshape(Hh * 2, Wh * 2, 3)
+    return img, rsteps
 
 
 def _refine_error_terms(qg: RenderData, settings: RenderSettings):
@@ -1071,6 +1261,10 @@ def render_frame(metric: Metric, camera: cam.Camera, params,
     if features is None:
         features = Features.for_metric(metric)
     if settings.adaptive_sampling:
+        if settings.shade_traced_only:
+            return render_frame_adaptive(metric, camera, params, backgrounds,
+                                         settings, features,
+                                         controller=controller)
         rdata = render_data_adaptive(metric, camera, params, settings,
                                      features, controller=controller)
         return _shade_jit(rdata, backgrounds, settings)

@@ -110,6 +110,13 @@ def main() -> int:
     def stage_shade():
         return pl._shade_jit(rdata, backgrounds, settings)
 
+    def stage_fshade():
+        # Traced-only finish: refine rdata + quarter/refine shade + RGB
+        # assembly in one program (replaces finish+shade in production).
+        return pl._finish_shade_jit(metric, rstate, rku, riquat, params,
+                                    features, qr, should, sel, dest,
+                                    backgrounds, settings, k)
+
     img = stage_shade()
     assert np.isfinite(np.asarray(img[::128, ::128])).all()
 
@@ -121,6 +128,7 @@ def main() -> int:
         "rtrace": stage_rtrace,
         "finish": stage_finish,
         "shade": stage_shade,
+        "fshade": stage_fshade,
     }
     total = 0.0
     for name, fn in stages.items():
@@ -135,6 +143,47 @@ def main() -> int:
         print(f"{name:10s} {t:7.3f} s")
     print(f"{'TOTAL':10s} {total:7.3f} s  "
           f"({W * H / total / 1e6:.2f} Mrays/s sync-isolated)")
+
+    # ----- probe-demand diagnostics (tunes probe_segments tiers) --------
+    def probe_demand(tag, tex, dx, dy, live):
+        w0, h0 = float(backgrounds.level_w[0]), float(backgrounds.level_h[0])
+        dx, dy = np.asarray(dx), np.asarray(dy)
+        du_dx, dv_dx = dx[..., 0] * w0, dx[..., 1] * h0
+        du_dy, dv_dy = dy[..., 0] * w0, dy[..., 1] * h0
+        Ann = dv_dx * dv_dx + dv_dy * dv_dy + 1.0
+        Bnn = -2.0 * (du_dx * dv_dx + du_dy * dv_dy)
+        Cnn = du_dx * du_dx + du_dy * du_dy + 1.0
+        F = np.maximum(Ann * Cnn - Bnn * Bnn / 4.0, 1e-10)
+        A, B, C = Ann / F, Bnn / F, Cnn / F
+        root = np.sqrt((A - C) ** 2 + B * B)
+        major = 1.0 / np.sqrt(np.maximum((A + C - root) / 2, 1e-20))
+        minor = 1.0 / np.sqrt(np.maximum((A + C + root) / 2, 1e-20))
+        major = np.maximum(np.maximum(major, 1.0), minor)
+        minor = np.maximum(minor, 1.0)
+        want = np.floor(2.0 * major / minor - 0.5).astype(int)
+        want = np.where(np.asarray(live), want, 1)
+        n = want.size
+        print(f"{tag:10s} n {n}  " + "  ".join(
+            f">={t}: {(want >= t).mean():.3f}" for t in (2, 3, 5, 8)))
+
+    from geodesic_raytracing_tpu.ops import integrate as integ
+
+    qtex = np.asarray(qr.tex_coord).reshape(Hh, Wh, 2)
+    cd = lambda a, b: (b - a) - np.round(b - a)  # noqa: E731
+    nbr_r = np.concatenate([qtex[:, 1:], qtex[:, -2:-1]], axis=1)
+    nbr_d = np.concatenate([qtex[1:], qtex[-2:-1]], axis=0)
+    qlive = (np.asarray(qr.terminated) == integ.ESCAPED).reshape(Hh, Wh)
+    probe_demand("q-set", qtex, cd(qtex, nbr_r) * (0.5 / 1.3),
+                 cd(qtex, nbr_d) * (0.5 / 1.3), qlive)
+    rr = pl.compute_render_data(metric, rstate, rku, params, features,
+                                inv_quat=riquat)
+    tq = np.asarray(qr.tex_coord)[np.asarray(sel)]
+    rtex = np.asarray(rr.tex_coord)
+    t0, t1, t2 = rtex[0:k], rtex[k:2 * k], rtex[2 * k:3 * k]
+    dxr = np.concatenate([cd(tq, t0), cd(t1, t2), cd(t1, t2)]) / 1.3
+    dyr = np.concatenate([cd(t0, t2), cd(tq, t1), cd(t0, t2)]) / 1.3
+    rlive = np.asarray(rr.terminated) == integ.ESCAPED
+    probe_demand("r-set", rtex, dxr, dyr, rlive)
 
     # ----- divergence diagnostics ---------------------------------------
     # Reproduce the production packing for each trace stage and compare

@@ -14,12 +14,13 @@ from geodesic_raytracing_tpu.render import background as bg
 from geodesic_raytracing_tpu.render import pipeline as pl
 
 
-def _frames(name, **adaptive_kw):
+def _frames(name, anisotropy=2, **adaptive_kw):
     m = metrics.get_metric(name)
     cam = Camera.default().rotate(pitch=-np.pi / 2)
     b = bg.checker_background(128, 256)
-    base = pl.RenderSettings(width=64, height=64, anisotropy=2,
+    base = pl.RenderSettings(width=64, height=64, anisotropy=anisotropy,
                              trace=TraceOptions(max_steps=4096))
+    adaptive_kw.setdefault("shade_traced_only", False)
     dense = pl.render_frame(m, cam, m.params(), b, base)
     adap = pl.render_frame(
         m, cam, m.params(), b,
@@ -44,6 +45,44 @@ def test_adaptive_full_budget_schwarzschild():
     # Full budget: every block refines -> odd/even-offset pixels traced
     # exactly; only interpolated-but-below-threshold cells may differ.
     assert (d > 0.1).mean() < 0.05, (d > 0.1).mean()
+
+
+def test_traced_only_shading_corners_exact():
+    """shade_traced_only: quarter corners and refined pixels are shaded off
+    their own traced render data, so at anisotropy 1 (no probe-budget
+    prefix, whose membership legitimately differs between the full-res and
+    per-set pixel orderings) they must match the dense render wherever the
+    dense path agrees with the data-interpolating adaptive path."""
+    dense, adap = _frames("kerr_boyer", anisotropy=1, shade_traced_only=True)
+    assert np.isfinite(adap).all()
+    # Tolerance: the corner's EWA lod uses the quarter-grid derivative
+    # (halved), the dense render its true full-res neighbour — a small lod
+    # delta under trilinear blending, never a structural difference.
+    corners = np.abs(dense[0::2, 0::2] - adap[0::2, 0::2]).max(axis=-1)
+    assert (corners > 0.05).mean() < 0.03, (corners > 0.05).mean()
+    # Interpolated pixels are bilinear RGB blends of the quarter corners —
+    # softer than the reference's interpolate-data-then-sample on hard
+    # texture edges, but never structurally wrong: the mean error stays
+    # small and the median pixel is exact.
+    # 64x64 on a hard checker is the softening worst case: a quarter block
+    # spans ~3% of the sky here vs 0.1% at 1080p.  Production softening is
+    # measured by scripts/shade_quality.py / BENCH_NOTES instead.
+    d = np.abs(dense - adap).max(axis=-1)
+    assert np.median(d) < 0.01
+    assert d.mean() < 0.06, d.mean()
+
+
+def test_traced_only_black_mask_semantics():
+    """Interpolated pixels take the block centre's terminated flag
+    (cl.cl:5111-5133): inside the shadow every pixel must be black in both
+    paths."""
+    dense, adap = _frames("schwarzschild", anisotropy=1,
+                          shade_traced_only=True)
+    black_d = (dense.max(axis=-1) == 0.0)
+    black_a = (adap.max(axis=-1) == 0.0)
+    # Shadow interiors agree; only block-boundary pixels may differ.
+    disagree = black_d != black_a
+    assert disagree.mean() < 0.02, disagree.mean()
 
 
 def test_prepass_kill_upsample_semantics():
