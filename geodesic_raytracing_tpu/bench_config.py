@@ -23,8 +23,13 @@ def production_trace(max_steps: int = 16384):
                         check_every=16)
 
 
-# Demand-matched EWA probe schedule — see the comment in flagship_config.
+# Demand-matched EWA probe schedules — see the comment in flagship_config.
 PRODUCTION_PROBE_SEGMENTS = ((0.072, 7), (0.11, 3))
+# The refine shade set (traced-only shading) concentrates at terminator
+# edges: measured want-probe demand on the flagship frame is 38% >= 8
+# probes, 49% >= 2 (scripts/stage_bench.py r-set line), vs 7.2%/35% for the
+# image-wide distribution the quarter tiers serve.
+PRODUCTION_REFINE_SEGMENTS = ((0.38, 7), (0.11, 3))
 
 
 def flagship_config(width: int = 1920, height: int = 1080):
@@ -55,6 +60,7 @@ def flagship_config(width: int = 1920, height: int = 1080):
         # rows/px vs the old (.072,8)(.11,4)(.17,2) schedule).
         anisotropy=8,
         probe_segments=PRODUCTION_PROBE_SEGMENTS,
+        refine_probe_segments=PRODUCTION_REFINE_SEGMENTS,
         trilinear=False,
         adaptive_sampling=True,  # reference default (main.cpp:1152)
         trace=production_trace(),

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .. import camera as cam
 from ..metrics.base import Metric
@@ -75,7 +75,7 @@ def sharded_trace(metric: Metric, mesh: Mesh, state: integrate.RayState,
         mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P(axis), state), P()),
         out_specs=jax.tree.map(lambda _: P(axis), state),
-        check_rep=False,
+        check_vma=False,
     )
     def run(shard, p):
         return integrate.trace_rays(metric, shard, p, features=features,
@@ -107,6 +107,134 @@ def sharded_render_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
     final = jax.tree.map(lambda x: x[:n], final)
     rdata = pipeline.compute_render_data(metric, final, ku, params, features)
     return pipeline.shade(rdata, backgrounds, settings)
+
+
+def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
+                           params, backgrounds: bg.Background,
+                           settings: pipeline.RenderSettings,
+                           features: Features | None = None) -> Array:
+    """The PRODUCTION adaptive pipeline (prepass + quarter trace + budgeted
+    refinement + traced-only shading) sharded over quarter-row bands.
+
+    Sharding design (BASELINE.json north star: rays/s scaling efficiency):
+
+    * The image plane is cut into ``n_dev`` horizontal bands of quarter
+      rows; every per-ray stage (ray init, trace, render data, shading)
+      is band-local — zero per-step communication, exactly the
+      embarrassingly-parallel structure of the reference's one-work-item-
+      per-pixel dispatch (SURVEY §2.4).
+    * The 16x prepass is replicated per device instead of halo-exchanged:
+      it is 1/256 of the frame's rays, so re-tracing it everywhere costs
+      ~0.4% of a frame and removes the only cross-band neighbour
+      dependency (the 5-cell kill test).
+    * The refinement decision's cross-block neighbour tests run per band;
+      band-boundary rows fall under the same must-refine rule as image
+      borders (pipeline._refine_error_terms), so a band boundary only ever
+      ADDS traced blocks (~0.2% extra rays per boundary) — never
+      interpolates across data it cannot see.
+    * The refinement budget is split evenly across bands (k/n_dev per
+      band): the reference sizes its dispatch by a global atomic counter
+      (cl.cl:5294); a global top-k would need an all-gather of every
+      block's error.  Under the controller's demand margin the even split
+      only bites when refinement demand is heavily band-skewed, and then
+      over-budget blocks fall back to interpolation (quality, not
+      correctness).
+
+    The collective cost of a frame is exactly: parameter/camera broadcast
+    in, image all-gather out (the out_spec) — DCN never sees per-step
+    traffic.  Use ``settings.trace.method="while"`` on a CPU validation
+    mesh (Pallas needs the TPU backend).
+    """
+    if features is None:
+        features = Features.for_metric(metric)
+    import dataclasses as _dc
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    W, H = settings.width, settings.height
+    Wh, Hh = W // 2, H // 2
+    assert Hh % n_dev == 0, (
+        f"quarter rows ({Hh}) must divide the mesh ({n_dev} devices)"
+    )
+    Hb = Hh // n_dev
+    nqb = Wh * Hb
+    frac = settings.refine_budget
+    if frac >= 1.0:
+        k = nqb
+    else:
+        k = max(min(nqb, 1024), (int(nqb * frac) // 8) * 8)
+    band_settings = _dc.replace(settings, height=2 * Hb)
+    planar = pipeline._planar_enabled(metric, settings)
+    opts = _dc.replace(settings.trace, planar=planar, compaction=())
+
+    def band_frame(camera, params, backgrounds):
+        row0 = jax.lax.axis_index(axis) * Hb
+
+        kill = qcost = None
+        if metric.config.use_prepass:
+            pw = max(W // settings.prepass_scale, 4)
+            ph = max(H // settings.prepass_scale, 4)
+            psettings = _dc.replace(settings, width=pw, height=ph,
+                                    adaptive_sampling=False)
+            dead, psteps = pipeline._prepass_dead_map(
+                metric, camera, params, psettings, features)
+            kill_full = pipeline._prepass_kill(
+                dead, W, H, Wh, Hh).reshape(Hh, Wh)
+            cost_full = pipeline._prepass_cost(
+                psteps, W, H, Wh, Hh).reshape(Hh, Wh)
+            kill = jax.lax.dynamic_slice_in_dim(
+                kill_full, row0, Hb, 0).reshape(-1)
+            qcost = jax.lax.dynamic_slice_in_dim(
+                cost_full, row0, Hb, 0).reshape(-1)
+
+        yy = 2.0 * (row0 + jnp.arange(Hb, dtype=jnp.int32)).astype(
+            jnp.float32)
+        qcy = jnp.repeat(yy, Wh)
+        qcx = jnp.tile(2.0 * jnp.arange(Wh, dtype=jnp.float32), Hb)
+
+        state, ku, iquat = pipeline._init_rays(
+            metric, camera, params, settings, features, qcx, qcy, kill)
+        f_in_x = jnp.abs(state.velocity[:, 0])
+        qfin = integrate.trace_rays(metric, state, params, features=features,
+                                    opts=opts, sort_key=qcost, f_in_x=f_in_x)
+        qr = pipeline.compute_render_data(metric, qfin, ku, params, features,
+                                          inv_quat=iquat)
+        qg = pipeline.RenderData(
+            *(f.reshape((Hb, Wh) + f.shape[1:]) for f in qr))
+
+        # Refine packing key: quarter-neighbour max of measured step counts
+        # (pipeline._refine_setup_jit's in-frame estimate).
+        qsteps = qg.steps
+        qcost_exact = jnp.maximum(
+            jnp.maximum(qsteps, jnp.roll(qsteps, -1, axis=1)),
+            jnp.maximum(jnp.roll(qsteps, -1, axis=0),
+                        jnp.roll(qsteps, (-1, -1), axis=(0, 1))),
+        ).astype(jnp.float32).reshape(-1)
+
+        should, sel, dest = pipeline._select_refine_blocks(qg, settings, k)
+        sflat = should.reshape(-1)[sel]
+        scx, scy = qcx[sel], qcy[sel]
+        rcx = jnp.concatenate(
+            [scx + ox for ox, oy in pipeline._REFINE_OFFSETS])
+        rcy = jnp.concatenate(
+            [scy + oy for ox, oy in pipeline._REFINE_OFFSETS])
+        rkill = ~jnp.concatenate([sflat] * 3)
+        rcost = jnp.concatenate([qcost_exact[sel]] * 3)
+        rstate, rku, riquat = pipeline._init_rays(
+            metric, camera, params, settings, features, rcx, rcy, rkill)
+        rf_in_x = jnp.abs(rstate.velocity[:, 0])
+        rfin = integrate.trace_rays(metric, rstate, params, features=features,
+                                    opts=opts, sort_key=rcost,
+                                    f_in_x=rf_in_x)
+        img, _ = pipeline._finish_shade_jit(
+            metric, rfin, rku, riquat, params, features, qr, should, sel,
+            dest, backgrounds, band_settings, k)
+        return img
+
+    run = shard_map(band_frame, mesh=mesh,
+                    in_specs=(P(), P(), P()), out_specs=P(axis),
+                    check_vma=False)
+    return run(camera, params, backgrounds)
 
 
 def make_train_step(metric: Metric, mesh: Mesh,
@@ -212,7 +340,7 @@ def make_train_step(metric: Metric, mesh: Mesh,
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis, None), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def loss_and_grad(params, camera, dirs, target, backgrounds):
         loss, grads = jax.value_and_grad(local_loss)(

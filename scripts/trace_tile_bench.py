@@ -34,6 +34,8 @@ def main() -> int:
                     help="comma list of check_every values to sweep")
     ap.add_argument("--unroll", default="1",
                     help="comma list of inner-loop unroll factors")
+    ap.add_argument("--block-tiles", default="1",
+                    help="comma list of tiles-per-grid-step values")
     ap.add_argument("--oracle", action="store_true",
                     help="pack by true step counts (the steady state of the "
                          "cross-frame feedback key) instead of prepass/"
@@ -77,12 +79,13 @@ def main() -> int:
         (int(t) for t in args.tiles.split(",")),
         (int(c) for c in args.ce.split(",")),
         (int(u) for u in args.unroll.split(",")),
+        (int(b) for b in args.block_tiles.split(",")),
     )
-    for tile, ce, unroll in combos:
+    for tile, ce, unroll, bt in combos:
             tsettings = dataclasses.replace(
                 settings, trace=dataclasses.replace(
                     settings.trace, tile=tile, check_every=ce,
-                    unroll=unroll))
+                    unroll=unroll, block_tiles=bt))
 
             def qtrace():
                 return pl._trace_phases(metric, qstate0, params, tsettings,
@@ -100,7 +103,8 @@ def main() -> int:
                     t0 = time.perf_counter()
                     sync(fn())
                     ts.append(time.perf_counter() - t0)
-                print(f"tile {tile:5d} ce {ce:3d} unroll {unroll} {name} "
+                print(f"tile {tile:5d} ce {ce:3d} unroll {unroll} "
+                      f"bt {bt:2d} {name} "
                       f"{float(np.median(ts)):7.3f} s", flush=True)
     return 0
 

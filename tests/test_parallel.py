@@ -54,6 +54,45 @@ def test_sharded_trace_matches_single_device():
     )
 
 
+def test_sharded_adaptive_frame_matches_single_device():
+    """The PRODUCTION adaptive pipeline sharded over quarter-row bands must
+    reproduce the single-device frame.  Band boundaries fall under the
+    must-refine border rule, so boundary blocks are TRACED in the sharded
+    frame where the single-device frame may interpolate — those pixels can
+    differ by the interpolation softening; everything else matches."""
+    import dataclasses
+
+    from geodesic_raytracing_tpu.parallel.mesh import sharded_adaptive_frame
+    from geodesic_raytracing_tpu.render import pipeline as pl
+
+    m = metrics.get_metric("kerr_boyer")
+    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    backgrounds = bg.checker_background(64, 128)
+    settings = RenderSettings(
+        width=64, height=64, anisotropy=2, adaptive_sampling=True,
+        refine_budget=1.0, shade_traced_only=True,
+        trace=TraceOptions(max_steps=2048, method="while"),
+    )
+    feats = Features.for_metric(m)
+    single = np.asarray(pl.render_frame(m, camera, m.params(), backgrounds,
+                                        settings, feats))
+    mesh = ray_mesh()
+    sharded = np.asarray(sharded_adaptive_frame(
+        m, mesh, camera, m.params(), backgrounds, settings, feats))
+    assert sharded.shape == single.shape
+    assert np.isfinite(sharded).all()
+    d = np.abs(single - sharded).max(axis=-1)
+    # Rows away from band boundaries must match exactly; boundary rows may
+    # differ (traced vs interpolated).
+    Hb2 = 64 // 8  # full-res rows per band
+    interior = np.ones(64, bool)
+    for b in range(8):
+        interior[b * Hb2:b * Hb2 + 2] = False      # band top block row
+        interior[(b + 1) * Hb2 - 2:(b + 1) * Hb2] = False  # band bottom
+    assert (d[interior] > 0.05).mean() < 0.02, (d[interior] > 0.05).mean()
+    assert (d > 0.1).mean() < 0.15, (d > 0.1).mean()
+
+
 def test_distributed_train_step_reduces_loss():
     """Fit rs from a target image rendered at rs=1.1, starting at rs=1.0 —
     gradient descent through the sharded differentiable integrator."""
