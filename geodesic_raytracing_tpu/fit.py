@@ -122,7 +122,7 @@ def main(argv=None) -> int:
 
 
 def _render_target(metric, camera, true_params, backgrounds, settings,
-                   features):
+                   features, grad_step_cap: int = 512):
     """Render the fitting target with the same loss-path renderer (quarter
     the machinery: trace + nearest-mip shade) so the fit compares
     like-for-like."""
@@ -141,10 +141,12 @@ def _render_target(metric, camera, true_params, backgrounds, settings,
     )
     fin = integrate.trace_rays(metric, state, true_params, features=features,
                                opts=settings.trace)
-    # Same consumed-pixel rule as mesh.local_loss (grad_safe_final), so
-    # the target and the fit render compare like-for-like.
+    # Same consumed-pixel rule as mesh.local_loss (grad_safe_final with the
+    # train step's HARD cap), so the target and the fit render compare
+    # like-for-like.
+    hard_cap = min(2 * grad_step_cap, settings.trace.max_steps)
     fin, consumed = pl.grad_safe_final(metric, state, fin, true_params,
-                                       features)
+                                       features, step_cap=hard_cap)
     rdata = pl.compute_render_data(metric, fin, ku, true_params, features)
     rgb = bgm.read_mipmap(backgrounds, rdata.side, rdata.tex_coord,
                           jnp.full(rdata.side.shape, 3.0))

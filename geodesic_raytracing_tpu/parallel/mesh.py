@@ -240,7 +240,9 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
 def make_train_step(metric: Metric, mesh: Mesh,
                     settings: pipeline.RenderSettings,
                     features: Features | None = None,
-                    grad_step_cap: int = 512):
+                    grad_step_cap: int = 512,
+                    grad_hard_cap: int | None = None,
+                    soft_decay_bits: float = 1.0):
     """Build a jitted DP training step: fit metric parameters to a target
     image by gradient descent through the (remat-scan) integrator.
 
@@ -248,6 +250,23 @@ def make_train_step(metric: Metric, mesh: Mesh,
     parameter gradient.  Cross-device: a single ``psum`` over ICI for loss
     and gradients, overlapped with the backward sweep by XLA.  This is the
     differentiable-rendering capability the reference lacks (SURVEY §7.7-7.8).
+
+    Lyapunov window: reverse-mode tangents of photon-ring rays grow
+    ~e^(2 pi) per orbit and overflow fp32.  Instead of excluding every ray
+    past a hard step cap from the gradient (which silences the shadow
+    edge — the most informative pixels for rs/a), the loss DOWNWEIGHTS
+    pixels smoothly beyond ``grad_step_cap``:
+    ``w = 2^(-soft_decay_bits * (steps - cap))`` with stop-gradient
+    weights from the probe trace.  The decay default (1.0 bit/step) is
+    calibrated against the measured worst-lane backward growth (~1 bit/
+    step on deep photon-ring lanes at 128^2/1024; 0.25 bits/step NaNs
+    after one optimiser update).  The backward sweep is linear in the
+    seed cotangents, so the scaling keeps every intermediate cotangent in
+    fp32 range while boundary pixels (a few steps past the cap) keep
+    near-full weight.  Because the weights are constants of the loss, the
+    autodiff gradient equals the finite-difference gradient of the SAME
+    weighted loss (validated in tests/test_gradients.py).  Rays past
+    ``grad_hard_cap`` (default 2x the soft cap) are still pre-killed.
 
     Returns ``step(params, camera, target_image, backgrounds, lr)``
     -> ``(new_params, loss)``.
@@ -258,10 +277,27 @@ def make_train_step(metric: Metric, mesh: Mesh,
     n_dev = mesh.devices.size
     import dataclasses as _dc
 
+    if grad_hard_cap is None:
+        grad_hard_cap = min(2 * grad_step_cap, settings.trace.max_steps)
+    grad_hard_cap = min(grad_hard_cap, settings.trace.max_steps)
+
     opts = settings.trace
     if opts.method != "scan":
         # The differentiable path needs the fixed-length remat scan.
         opts = _dc.replace(opts, method="scan")
+    # The probe pre-kills every lane past grad_hard_cap COMMITTED steps, so
+    # the differentiable scan only needs to cover the cap plus rejected-
+    # trial slack (step rejections are ~0.2% of iterations; 1.25x is ample)
+    # — at the old fixed length the scan ran max_steps iterations for rays
+    # that all finish within the cap (3.77 -> ~1.6 s/step at 256^2/2048).
+    remat = max(1, min(opts.remat_every, opts.max_steps))
+    scan_steps = min(opts.max_steps,
+                     -(-int(grad_hard_cap * 1.25) // remat) * remat)
+    opts = _dc.replace(opts, max_steps=scan_steps)
+    # The probe only classifies lanes (no gradients flow): run it with the
+    # early-exiting while driver at the FULL step budget instead of the
+    # fixed-length scan.
+    probe_opts = _dc.replace(settings.trace, method="while")
 
     W, H = settings.width, settings.height
     n_rays = W * H
@@ -269,24 +305,34 @@ def make_train_step(metric: Metric, mesh: Mesh,
         f"image pixels ({n_rays}) must divide the mesh ({n_dev} devices)"
     )
 
-    def local_loss(params, camera, dirs, target_slice, backgrounds):
+    def local_loss(params, camera, dirs, target_slice, backgrounds,
+                   probe_params):
         # Rebuild the (tiny, replicated) camera tetrad locally; trace the
         # ray shard; shade; L2 against the target shard.
-        position = pipeline.camera_to_generic(metric, camera, params)
-        es = cam.observer_tetrad(
-            metric, position, params, basis_speed3=camera.basis_speed,
-            orient=True,
-        )
+        # ``probe_params``: parameters for the mask/weight probe — normally
+        # ``params`` itself; finite-difference validation passes the
+        # unperturbed point so the probe's discrete masks stay constant
+        # (autodiff treats them as constants via stop_gradient).
         sign = pipeline._trace_sign(metric, settings)
-        velocity = (
-            dirs[:, 0:1] * es[1][None, :]
-            + dirs[:, 1:2] * es[2][None, :]
-            + dirs[:, 2:3] * es[3][None, :]
-            + sign * es[0][None, :]
-        )
-        positions = jnp.broadcast_to(position, velocity.shape)
-        state = integrate.init_ray_state(metric, positions, velocity, params,
-                                         features)
+
+        def launch(p):
+            position = pipeline.camera_to_generic(metric, camera, p)
+            es = cam.observer_tetrad(
+                metric, position, p, basis_speed3=camera.basis_speed,
+                orient=True,
+            )
+            velocity = (
+                dirs[:, 0:1] * es[1][None, :]
+                + dirs[:, 1:2] * es[2][None, :]
+                + dirs[:, 2:3] * es[3][None, :]
+                + sign * es[0][None, :]
+            )
+            positions = jnp.broadcast_to(position, velocity.shape)
+            state = integrate.init_ray_state(metric, positions, velocity, p,
+                                             features)
+            return position, es, state
+
+        position, es, state = launch(params)
         # Two-pass differentiation: a stop-gradient probe trace finds the
         # lanes whose trajectories poison reverse mode — rays that die
         # (their one divergent trial evaluation feeds inf primals into the
@@ -297,18 +343,24 @@ def make_train_step(metric: Metric, mesh: Mesh,
         # never evaluate the hazardous steps at all.  Costs one extra
         # forward (~8% of the gradient step).
         sg = jax.lax.stop_gradient
+        pp = sg(probe_params)
+        _, _, pstate = launch(pp)
         probe = integrate.trace_rays(
-            metric, jax.tree.map(sg, state), sg(params), features=features,
-            opts=opts,
+            metric, jax.tree.map(sg, pstate), pp, features=features,
+            opts=probe_opts,
         )
-        polar_r = jnp.abs(
-            metric.to_polar(sg(probe.position.T), sg(params))[1]
-        )
+        polar_r = jnp.abs(metric.to_polar(sg(probe.position.T), pp)[1])
         keep = (
             (probe.status == integrate.ESCAPED)
             & (polar_r >= 0.5 * features.universe_size)
-            & (probe.steps <= grad_step_cap)
+            & (probe.steps <= grad_hard_cap)
         )
+        # Soft Lyapunov window (see make_train_step docstring): constant
+        # per-pixel weights decaying past the soft cap keep shadow-edge
+        # gradients finite in fp32 without a hard exclusion.
+        extra = jnp.maximum(
+            probe.steps.astype(jnp.float32) - float(grad_step_cap), 0.0)
+        lyap_w = jnp.where(keep, jnp.exp2(-soft_decay_bits * extra), 0.0)
         state = state._replace(
             status=jnp.where(keep, state.status, integrate.DEAD)
         )
@@ -316,11 +368,22 @@ def make_train_step(metric: Metric, mesh: Mesh,
                                      opts=opts)
         # Horizon-terminated endpoints sit where the metric is singular;
         # their render-data evaluation NaN-poisons reverse mode (see
-        # pipeline.grad_safe_final) — substitute launch states and fit
-        # only the consumed (far-escaped) pixels.
-        final, consumed = pipeline.grad_safe_final(metric, state, final,
-                                                   params, features,
-                                                   step_cap=grad_step_cap)
+        # pipeline.grad_safe_final) — substitute launch states and keep
+        # only the consumed (probe-kept) pixels.  The mask comes from the
+        # PROBE (identical to the diff trace at the evaluation point, both
+        # run the same step math) so every discrete decision lives in one
+        # stop-gradient pass.
+        consumed = keep
+
+        def pick(a, b):
+            mm = consumed.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(mm, a, b)
+
+        final = final._replace(
+            position=pick(final.position, state.position),
+            velocity=pick(final.velocity, state.velocity),
+            acceleration=pick(final.acceleration, state.acceleration),
+        )
         gab = metric.fn(position, params)
         ku = state.velocity @ (gab @ es[0])
         rdata = pipeline.compute_render_data(metric, final, ku, params,
@@ -333,18 +396,20 @@ def make_train_step(metric: Metric, mesh: Mesh,
             jnp.full(rdata.side.shape, 3.0),
         )
         rgb = jnp.where(consumed[..., None], rgb, 0.0)
-        return jnp.sum((rgb - target_slice) ** 2) / n_rays
+        w = jnp.where(consumed, lyap_w, 0.0)[..., None]
+        return jnp.sum(w * (rgb - target_slice) ** 2) / n_rays
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis, None), P()),
+        in_specs=(P(), P(), P(axis), P(axis, None), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def loss_and_grad(params, camera, dirs, target, backgrounds):
+    def loss_and_grad(params, camera, dirs, target, backgrounds,
+                      probe_params):
         loss, grads = jax.value_and_grad(local_loss)(
-            params, camera, dirs, target, backgrounds
+            params, camera, dirs, target, backgrounds, probe_params
         )
         loss = jax.lax.psum(loss, axis)
         grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
@@ -355,7 +420,8 @@ def make_train_step(metric: Metric, mesh: Mesh,
         dirs = cam.pixel_directions(W, H, camera.quat, settings.fov_degrees)
         dirs = dirs.reshape(-1, 3)
         target = target_image.reshape(-1, 3)
-        loss, grads = loss_and_grad(params, camera, dirs, target, backgrounds)
+        loss, grads = loss_and_grad(params, camera, dirs, target, backgrounds,
+                                    params)
         # Clip by global norm — the L2 landscape has cliffs at horizon
         # crossings and NaN-guard plateaus; raw SGD overshoots.
         gnorm = jnp.sqrt(
@@ -367,4 +433,20 @@ def make_train_step(metric: Metric, mesh: Mesh,
         )
         return new_params, loss
 
+    @jax.jit
+    def loss_and_grad_full(params, camera, target_image, backgrounds,
+                           probe_params=None):
+        """(loss, grads) without the update — exposed for finite-difference
+        validation of the (Lyapunov-weighted) loss.  Pass ``probe_params``
+        (the unperturbed point) to freeze the probe's discrete masks under
+        a parameter perturbation."""
+        dirs = cam.pixel_directions(W, H, camera.quat, settings.fov_degrees)
+        dirs = dirs.reshape(-1, 3)
+        target = target_image.reshape(-1, 3)
+        if probe_params is None:
+            probe_params = params
+        return loss_and_grad(params, camera, dirs, target, backgrounds,
+                             probe_params)
+
+    step.loss_and_grad = loss_and_grad_full
     return step

@@ -207,6 +207,52 @@ def test_grad_wrt_double_unequal_kerr_mass_matches_fd():
     np.testing.assert_allclose(float(g), float(fd), rtol=0.2, atol=5e-3)
 
 
+def test_soft_lyapunov_window_grad_matches_fd():
+    """The Lyapunov-weighted training loss (soft step-cap decay instead of
+    a hard exclusion, mesh.make_train_step) is a plain weighted L2 with
+    stop-gradient weights — its autodiff gradient must match the finite
+    difference of the SAME loss, with shadow-edge pixels (past the soft
+    cap) contributing."""
+    from geodesic_raytracing_tpu.camera import Camera
+    from geodesic_raytracing_tpu.fit import _render_target
+    from geodesic_raytracing_tpu.parallel.mesh import make_train_step, ray_mesh
+    from geodesic_raytracing_tpu.render import background as bg
+    from geodesic_raytracing_tpu.render import pipeline as pl
+
+    m = metrics.get_metric("schwarzschild")
+    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    backgrounds = bg.checker_background(64, 128)
+    mesh = ray_mesh(jax.devices()[:1])
+    settings = pl.RenderSettings(
+        width=48, height=48,
+        trace=TraceOptions(max_steps=512, method="scan", remat_every=64),
+    )
+    feats = Features.for_metric(m)
+    step = make_train_step(m, mesh, settings, feats, grad_step_cap=128)
+    target = _render_target(m, camera, m.params(rs=1.05), backgrounds,
+                            settings, feats, grad_step_cap=128)
+
+    frozen = m.params(rs=1.0)
+
+    def loss_at(rs):
+        # Freeze the probe at the evaluation point: the probe's discrete
+        # masks/weights are stop-gradient constants for autodiff, so the FD
+        # must hold them constant too.
+        loss, _ = step.loss_and_grad(m.params(rs=rs), camera, target,
+                                     backgrounds, probe_params=frozen)
+        return float(loss)
+
+    loss0, g = step.loss_and_grad(m.params(rs=1.0), camera, target,
+                                  backgrounds)
+    g = float(g["rs"])
+    assert np.isfinite(g) and abs(g) > 1e-6
+    eps = 2e-3
+    fd = (loss_at(1.0 + eps) - loss_at(1.0 - eps)) / (2 * eps)
+    # The adaptive integrator's committed step sequence is discontinuous in
+    # params, so FD carries noise; the weighted loss must still agree.
+    np.testing.assert_allclose(g, fd, rtol=0.2)
+
+
 def test_grad_finite_with_dead_rays():
     """Rays that die mid-trace (horizon capture, blowup kill) must not
     poison the backward sweep: the integrator freezes a dying ray at its
