@@ -49,6 +49,9 @@ def main(argv=None) -> int:
                          "energy redistribution")
     ap.add_argument("--dominant-colour", action="store_true",
                     help="per-pixel dominant-wavelength redshift variant")
+    ap.add_argument("--spectral-redshift", action="store_true",
+                    help="experimental: shift each pixel's CIE dominant "
+                         "wavelength along the 1931 horseshoe")
     ap.add_argument("--adaptive", action="store_true",
                     help="adaptive sampling: quarter-density trace + "
                          "error-driven refinement (reference default)")
@@ -194,6 +197,7 @@ def main(argv=None) -> int:
         redshift=args.redshift,
         old_redshift=args.old_redshift,
         dominant_colour=args.dominant_colour,
+        spectral_redshift=args.spectral_redshift,
         adaptive_sampling=args.adaptive,
         trace=trace,
         probe_segments=probe_segments,

@@ -107,13 +107,141 @@ def dominant_wavelength(lin_rgb: Array) -> Array:
     )
 
 
+def xyz_to_linear_rgb(c: Array) -> Array:
+    """Inverse of linear_rgb_to_xyz (sRGB D65)."""
+    x, y, z = c[..., 0], c[..., 1], c[..., 2]
+    return jnp.stack(
+        [
+            3.2404542 * x - 1.5371385 * y - 0.4985314 * z,
+            -0.9692660 * x + 1.8760108 * y + 0.0415560 * z,
+            0.0556434 * x - 0.2040259 * y + 1.0572252 * z,
+        ],
+        axis=-1,
+    )
+
+
+_WHITE = 1.0 / 3.0  # equal-energy white point, chromaticity.hpp:500-501
+
+
+def _horseshoe_tables():
+    """(unwrapped locus angles about the white point, wavelengths, xy) —
+    precomputed once from the CIE 1931 table.  The locus angle decreases
+    monotonically with wavelength once unwrapped (the spectral locus winds
+    clockwise around the white point from 360 to 830 nm); the arrays are
+    stored negated so jnp.interp sees an increasing x-axis."""
+    import numpy as np
+
+    from . import cie1931_data as cie
+
+    xy = np.asarray(cie.XY_1NM, dtype=np.float64)
+    ang = np.unwrap(np.arctan2(xy[:, 1] - _WHITE, xy[:, 0] - _WHITE))
+    assert (np.diff(ang) <= 1e-12).all(), "locus angle not monotone"
+    wl = np.arange(cie.WL_START, cie.WL_END + 0.5)
+    return (jnp.asarray(-ang, jnp.float32), jnp.asarray(wl, jnp.float32),
+            jnp.asarray(xy, jnp.float32))
+
+
+_TABLES = None
+
+
+def _tables():
+    global _TABLES
+    if _TABLES is None:
+        _TABLES = _horseshoe_tables()
+    return _TABLES
+
+
+def dominant_wavelength_cie(lin_rgb: Array) -> Array:
+    """Dominant wavelength from the full CIE 1931 horseshoe
+    (``srgb_to_wavelength``, chromaticity.hpp:536-572): chromaticity angle
+    about the equal-energy white point, matched against the spectral-locus
+    angles.  Interpolates between 1 nm entries (the reference returns the
+    first bracketing entry; its ``as_coordinates`` also double-strides the
+    table — ``i += 4`` then ``raw_horseshoe[i * 4]`` — reading every 4th
+    row, fixed here).  Non-spectral (purple-line) chromaticities clamp to
+    the nearer locus end, where the reference returns -1."""
+    neg_ang, wl, _ = _tables()
+    xyz = linear_rgb_to_xyz(lin_rgb)
+    s = jnp.maximum(xyz.sum(-1), 1e-6)
+    xy = xyz[..., :2] / s[..., None]
+    a = jnp.arctan2(xy[..., 1] - _WHITE, xy[..., 0] - _WHITE)
+    # Shift the query onto the unwrapped locus branch [a_min, a_max]
+    # (a_max at 360 nm, a_min = angle at 830 nm, one winding below).
+    a_max = -neg_ang[0]
+    a_min = -neg_ang[-1]
+    q = jnp.where(a <= a_max, a, a - 2.0 * jnp.pi)
+    # Purple gap (a_max .. a_min + 2pi): circular-nearest locus end.
+    in_gap = (a > a_max) & (a < a_min + 2.0 * jnp.pi)
+    gap_mid = 0.5 * (a_max + a_min + 2.0 * jnp.pi)
+    q = jnp.where(in_gap, jnp.where(a < gap_mid, a_max, a_min), q)
+    return jnp.interp(-q, neg_ang, wl)
+
+
+def srgb_to_wavelength(srgb: Array) -> Array:
+    """chromaticity.hpp:536 behavioural twin (vectorised, bug-fixed)."""
+    return dominant_wavelength_cie(srgb_to_lin(srgb))
+
+
+def wavelength_to_xy(wavelength: Array) -> Array:
+    """Spectral-locus chromaticity at ``wavelength`` nm (interpolated)."""
+    neg_ang, wl, xy = _tables()
+    w = jnp.clip(wavelength, wl[0], wl[-1])
+    return jnp.stack([jnp.interp(w, wl, xy[:, 0]),
+                      jnp.interp(w, wl, xy[:, 1])], axis=-1)
+
+
+def spectral_redshift(lin_rgb: Array, z_shift: Array) -> Array:
+    """Spectral-shift experiment behind ``--spectral-redshift``: estimate
+    each pixel's dominant wavelength and excitation purity from the CIE
+    horseshoe, shift the wavelength by 1 + z, and rebuild the colour at the
+    shifted locus point with the same purity and the I/nu^3 luminance
+    scale.  This is the experiment the reference's unused
+    ``srgb_to_wavelength`` (chromaticity.hpp:536) was built toward (the
+    shipping model instead hue-mixes toward the red/blue primaries —
+    cl.cl:5371-5413); unphysical for broadband sources, as the reference's
+    own comment warns (cl.cl:5713)."""
+    neg_ang, wl_tab, _ = _tables()
+    xyz = linear_rgb_to_xyz(lin_rgb)
+    s = jnp.maximum(xyz.sum(-1), 1e-6)
+    xy = xyz[..., :2] / s[..., None]
+    wl = dominant_wavelength_cie(lin_rgb)
+    locus = wavelength_to_xy(wl)
+    d_pix = jnp.linalg.norm(xy - _WHITE, axis=-1)
+    d_loc = jnp.maximum(jnp.linalg.norm(locus - _WHITE, axis=-1), 1e-6)
+    purity = jnp.clip(d_pix / d_loc, 0.0, 1.0)
+
+    wl_obs = jnp.clip(wl * (1.0 + z_shift), wl_tab[0], wl_tab[-1])
+    xy_new = _WHITE + purity[..., None] * (wavelength_to_xy(wl_obs) - _WHITE)
+
+    rel_lum = xyz[..., 1]
+    new_lum = jnp.clip(rel_lum * (1.0 + z_shift) ** -3, 0.0, 1.0)
+    y = jnp.maximum(xy_new[..., 1], 1e-6)
+    xyz_new = jnp.stack(
+        [xy_new[..., 0] / y * new_lum,
+         new_lum,
+         (1.0 - xy_new[..., 0] - xy_new[..., 1]) / y * new_lum],
+        axis=-1,
+    )
+    out = jnp.maximum(xyz_to_linear_rgb(xyz_new), 0.0)
+    # Out-of-gamut spectral colours: scale into [0, 1] preserving hue.
+    peak = jnp.maximum(out.max(-1), 1.0)
+    out = out / peak[..., None]
+    # Near-black/achromatic pixels keep their colour (wavelength undefined;
+    # purity-based because sRGB grey sits at D65, ~0.02 off the equal-energy
+    # white the horseshoe angles are measured from).
+    keep = (rel_lum < 1e-4) | (purity < 0.1)
+    return jnp.where(keep[..., None], jnp.clip(lin_rgb, 0.0, 1.0), out)
+
+
 def apply_redshift(lin_rgb: Array, z_shift: Array,
                    dominant_colour: bool = False,
-                   old: bool = False) -> Array:
+                   old: bool = False, spectral: bool = False) -> Array:
     """Full redshift pipeline on linear RGB (cl.cl:5689-5846):
     I/nu^3 Lorentz-invariant luminance rescale at the test wavelength, then
     the hue-shift model.  ``dominant_colour`` estimates a per-pixel test
     wavelength from chromaticity instead of the 555 nm human-vision peak."""
+    if spectral:
+        return spectral_redshift(lin_rgb, z_shift)
     rel_lum = (
         0.2126 * lin_rgb[..., 0]
         + 0.7152 * lin_rgb[..., 1]

@@ -54,6 +54,9 @@ class RenderSettings:
     old_redshift: bool = False
     # DOMINANT_COLOUR variant (cl.cl:5724-5792): per-pixel test wavelength.
     dominant_colour: bool = False
+    # Spectral-shift experiment on the CIE 1931 horseshoe (the reference's
+    # unused srgb_to_wavelength, chromaticity.hpp:536).
+    spectral_redshift: bool = False
     flip_geodesic_direction: bool = False
     trace: TraceOptions = TraceOptions()
     # Reference defaults: adaptive sampling on (main.cpp:1152), threshold 64
@@ -982,7 +985,8 @@ def _shade_set(rdata_tex, rdata_side, rdata_z, rdata_term, dx, dy,
     if settings.redshift:
         rgb = colour.apply_redshift(rgb, rdata_z,
                                     dominant_colour=settings.dominant_colour,
-                                    old=settings.old_redshift)
+                                    old=settings.old_redshift,
+                                    spectral=settings.spectral_redshift)
     return jnp.where(live[:, None], rgb, 0.0)
 
 
@@ -1235,7 +1239,8 @@ def shade(rdata: RenderData, backgrounds: bg.Background,
     if settings.redshift:
         rgb = colour.apply_redshift(rgb, z_shift,
                                     dominant_colour=settings.dominant_colour,
-                                    old=settings.old_redshift)
+                                    old=settings.old_redshift,
+                                    spectral=settings.spectral_redshift)
 
     # terminated != 1 paints black (cl.cl:5470-5474).
     mask = (terminated == integrate.ESCAPED)[..., None]

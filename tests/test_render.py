@@ -250,3 +250,64 @@ def test_probe_segments_single_segment_budget_reclamps():
         b, tex, side, max_probes=8,
         probe_segments=((1.0 / 6.0, 4), (1.0 / 6.0, 4))))
     np.testing.assert_array_equal(one, two)
+
+
+# ---------------------------------------------------------------------------
+# CIE 1931 horseshoe (chromaticity.hpp:17-572)
+# ---------------------------------------------------------------------------
+
+def test_cie_table_matches_reference_constants():
+    """Spot-check the embedded table against the reference's constants
+    (chromaticity.hpp rows 360, 555, 830)."""
+    from geodesic_raytracing_tpu.render import cie1931_data as cie
+
+    assert cie.WL_START == 360.0 and cie.WL_END == 830.0
+    assert len(cie.XY_1NM) == 471
+    np.testing.assert_allclose(cie.XY_1NM[0], (0.175560, 0.005294), atol=1e-6)
+    np.testing.assert_allclose(cie.XY_1NM[830 - 360],
+                               (0.734690, 0.265310), atol=1e-6)
+    # every entry is a valid chromaticity (x + y <= 1, both >= 0)
+    xy = np.asarray(cie.XY_1NM)
+    assert (xy >= 0).all() and (xy.sum(axis=1) <= 1.0 + 1e-6).all()
+
+
+def test_srgb_to_wavelength_primaries():
+    """The sRGB primaries' dominant wavelengths must land on the anchors the
+    reference hard-codes for them (612/549/464 nm, cl.cl:5730-5732)."""
+    prim = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    wl = np.asarray(colour.srgb_to_wavelength(prim))
+    assert abs(wl[0] - 612.0) < 3.0, wl
+    assert abs(wl[1] - 549.0) < 3.0, wl
+    assert abs(wl[2] - 464.0) < 3.0, wl
+    # Locus round-trip at low excitation purity (dominant wavelength is
+    # purity-invariant; full-purity locus points are outside sRGB gamut, so
+    # mix 20% locus with equal-energy white to stay in-gamut).
+    for target in (460.0, 520.0, 600.0):
+        xy = 1 / 3 + 0.2 * (np.asarray(colour.wavelength_to_xy(
+            jnp.array(target))) - 1 / 3)
+        Y = 0.4
+        xyz = jnp.array([[xy[0] / xy[1] * Y, Y,
+                          (1 - xy[0] - xy[1]) / xy[1] * Y]])
+        lin = jnp.maximum(colour.xyz_to_linear_rgb(xyz), 0.0)
+        back = float(colour.dominant_wavelength_cie(lin)[0])
+        assert abs(back - target) < 2.0, (target, back)
+
+
+def test_spectral_redshift_shifts_wavelength():
+    """z > 0 must move a green pixel's dominant wavelength redward by the
+    1 + z factor; z = 0 must preserve hue; output always finite in [0,1]."""
+    green = jnp.array([[0.05, 0.8, 0.05]])
+    wl0 = float(colour.dominant_wavelength_cie(green)[0])
+    out0 = colour.spectral_redshift(green, jnp.array([0.0]))
+    assert abs(float(colour.dominant_wavelength_cie(out0)[0]) - wl0) < 4.0
+    out_r = colour.spectral_redshift(green, jnp.array([0.12]))
+    wl_r = float(colour.dominant_wavelength_cie(out_r)[0])
+    assert abs(wl_r - wl0 * 1.12) < 6.0, (wl0, wl_r)
+    for z in (-0.5, 0.0, 0.5, 5.0):
+        out = np.asarray(colour.spectral_redshift(green, jnp.array([z])))
+        assert np.isfinite(out).all() and (out >= 0).all() and (out <= 1).all()
+    # Achromatic pixels pass through (wavelength undefined at the white pt).
+    grey = jnp.array([[0.5, 0.5, 0.5]])
+    np.testing.assert_allclose(
+        np.asarray(colour.spectral_redshift(grey, jnp.array([0.3]))),
+        np.asarray(grey), atol=1e-5)
