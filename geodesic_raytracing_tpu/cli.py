@@ -301,7 +301,9 @@ def main(argv=None) -> int:
             metric, state, params, scene, geos, features=features,
             opts=TraceOptions(max_steps=min(args.max_steps, 4096),
                               method="while"),
-            n_slots=12, steps_per_slot=48,
+            # short segments: the in-segment interpolation misses
+            # near-field objects when one slot spans the whole approach
+            n_slots=64, steps_per_slot=8,
         )
         import jax.numpy as _jnp
 

@@ -297,7 +297,7 @@ def intersect_scene_binned(metric: Metric, path: Array,
                            scene: TriangleScene,
                            geos: list["ObjectGeodesic"], params,
                            block: int = 256, budget: int = 64,
-                           pad: float = 0.0):
+                           pad: float = 0.0, with_stats: bool = False):
     """Binned twin of :func:`intersect_scene`: per (ray block x ray segment)
     chunk, only the ``budget`` swept triangles whose AABBs overlap the
     chunk's AABB run the toblerone solve (``generate_clip_regions`` ->
@@ -307,6 +307,11 @@ def intersect_scene_binned(metric: Metric, path: Array,
     overlap set exceeds ``budget`` keeps the earliest object segments (the
     reference's bins simply overflow, cl.cl:4544-4556).  Exact whenever the
     per-chunk overlap count fits the budget.
+
+    ``with_stats`` additionally returns ``{"dropped": total candidates cut
+    by the budget, "max_overlap": worst chunk's overlap count}`` so budget
+    overflow is detected rather than silent (a dropped candidate can be a
+    missed intersection).
     """
     periods = metric.periods(params)
     swept = build_swept_triangles(scene, geos, pad=pad)
@@ -324,6 +329,8 @@ def intersect_scene_binned(metric: Metric, path: Array,
 
     best_key = jnp.full((n_pad,), jnp.inf)
     colour = jnp.zeros((n_pad, 3))
+    dropped = jnp.zeros((), jnp.int32)
+    max_overlap = jnp.zeros((), jnp.int32)
 
     for s in range(S):
         ga = pad_rays(path[s])
@@ -345,6 +352,10 @@ def intersect_scene_binned(metric: Metric, path: Array,
         # the lowest index — the earliest object segment).
         vals, idx = jax.lax.top_k(ov.astype(jnp.float32), B)  # (NB, B)
         valid = vals > 0.0
+        if with_stats:
+            n_ov = ov.sum(axis=1, dtype=jnp.int32)  # (NB,)
+            dropped = dropped + jnp.maximum(n_ov - B, 0).sum()
+            max_overlap = jnp.maximum(max_overlap, n_ov.max())
 
         cand = jax.tree.map(lambda x: x[idx], swept)  # (NB, B, ...)
 
@@ -373,6 +384,9 @@ def intersect_scene_binned(metric: Metric, path: Array,
         best_key = jnp.where(better, key, best_key)
         colour = jnp.where(better[:, None], col, colour)
 
+    if with_stats:
+        return jnp.isfinite(best_key[:n]), colour[:n], {
+            "dropped": dropped, "max_overlap": max_overlap}
     return jnp.isfinite(best_key[:n]), colour[:n]
 
 
@@ -380,7 +394,7 @@ def render_triangles(metric: Metric, state: RayState, params,
                      scene: TriangleScene, geos: list[ObjectGeodesic],
                      features: Features | None = None,
                      opts: TraceOptions = TraceOptions(),
-                     n_slots: int = 16, steps_per_slot: int = 64,
+                     n_slots: int = 64, steps_per_slot: int = 8,
                      binned: bool = False, block: int = 256,
                      budget: int = 64):
     """Trace rays with path recording, then intersect the scene.
@@ -388,6 +402,16 @@ def render_triangles(metric: Metric, state: RayState, params,
     ``binned`` switches to the AABB-binned intersector (the reference's
     chunked path; right for large scenes).  Returns ``(final RayState,
     hit (N,), colour (N, 3))``.
+
+    Slot granularity matters: the toblerone solve interpolates the ray
+    linearly within a recorded segment, so a segment must not span a
+    large swing of the metric.  With the adaptive step controller, 64
+    steps cross the entire camera->horizon approach in ONE slot at the
+    old (16, 64) defaults — every near-field object was missed (zero
+    hits).  (64, 8) keeps segments short where the field is strong while
+    still recording 512 integration steps (the reference records every
+    few steps and subsamples by proper distance, cl.cl:4181-4232,
+    3762-3834).
     """
     if features is None:
         features = Features.for_metric(metric)

@@ -1,0 +1,95 @@
+"""Generate the catalogue-wide 128^2 golden images for
+tests/test_parity_images.py.
+
+One CPU render per catalogue metric through the production pipeline (the
+same configs the test uses), plus two documented reference scenes:
+  - kerr_redshift: redshift-on Kerr (SURVEY section 7 config 3 — the
+    reference's `-bench` redshift configuration, main.cpp:1139).
+  - alcubierre_paper: the Alcubierre figure the reference replicated
+    (main.cpp:106 — static observer ahead of the bubble looking along
+    the travel axis).
+
+Usage: python scripts/make_goldens.py [name ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import imageio.v3 as iio
+
+from geodesic_raytracing_tpu import metrics
+from geodesic_raytracing_tpu.camera import Camera
+from geodesic_raytracing_tpu.ops.integrate import Features, TraceOptions
+from geodesic_raytracing_tpu.render import background as bg
+from geodesic_raytracing_tpu.render import colour
+from geodesic_raytracing_tpu.render.pipeline import RenderSettings, render_frame
+
+SIZE = 128
+OUT = "tests/golden/catalogue"
+
+
+def scene_configs():
+    """name -> (metric_name, params_override, settings_overrides, camera)."""
+    cams = {}
+    default = Camera.default().rotate(pitch=-np.pi / 2)
+    scenes = {}
+    for name in metrics.list_metrics():
+        scenes[name] = (name, None, {}, default)
+    scenes["kerr_redshift"] = ("kerr_boyer", None, dict(redshift=True),
+                               default)
+    # main.cpp:106 scene: observer at distance 4 on the travel axis,
+    # bubble moving toward them (paper fig. 2 analogue).
+    alc = Camera.default()._replace(
+        polar_position=np.array([0.0, 4.0, np.pi / 2, 0.0], np.float32))
+    scenes["alcubierre_paper"] = ("alcubierre", None, {},
+                                  alc.rotate(pitch=-np.pi / 2))
+    return scenes
+
+
+def render_scene(key, spec):
+    name, params_over, sets_over, camera = spec
+    m = metrics.get_metric(name)
+    params = dict(m.params())
+    if params_over:
+        params.update(params_over)
+    settings = RenderSettings(width=SIZE, height=SIZE, anisotropy=4,
+                              trace=TraceOptions(max_steps=8192),
+                              **sets_over)
+    img = render_frame(m, camera, params, bg.checker_background(),
+                       settings, Features.for_metric(m))
+    arr = np.asarray(colour.lin_to_srgb(img))
+    assert np.isfinite(arr).all(), key
+    return (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+
+
+def main(argv):
+    import os
+
+    os.makedirs(OUT, exist_ok=True)
+    scenes = scene_configs()
+    only = set(argv[1:])
+    for key, spec in scenes.items():
+        if only and key not in only:
+            continue
+        t0 = time.perf_counter()
+        arr = render_scene(key, spec)
+        fn = "%s/%s.png" % (
+            OUT, key.replace(" ", "_").replace("(", "").replace(")", ""))
+        iio.imwrite(fn, arr)
+        print(f"{key:40s} {time.perf_counter() - t0:6.1f}s  -> {fn}",
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -135,3 +135,68 @@ def test_binned_budget_prunes():
         binned=True, block=8, budget=16,
     )
     assert np.asarray(hit)[0]
+
+
+def test_schwarzschild_nearfield_cube_hits():
+    """Regression: a cube between camera and hole in strong field must be
+    hit.  At the old coarse recording (16 slots x 64 steps) slot 0 spanned
+    the whole camera->horizon approach and the within-segment linear
+    interpolation missed every near-field object (zero hits)."""
+    from geodesic_raytracing_tpu.camera import Camera
+    from geodesic_raytracing_tpu.render.pipeline import (
+        RenderSettings,
+        init_camera_rays,
+    )
+
+    m = metrics.get_metric("schwarzschild")
+    params = m.params()
+    feats = Features.for_metric(m)
+    cube = make_cube([-6.0, 0.0, -3.0, 0.0])
+    geo = precompute_object(m, cube, params, feats, n_steps=512, segments=48)
+    scene = TriangleScene.build([cube])
+    cam = Camera.default().rotate(pitch=-np.pi / 2)
+    settings = RenderSettings(
+        width=48, height=48, planar=False,
+        trace=TraceOptions(max_steps=512, method="scan"))
+    st, _, _ = init_camera_rays(m, cam, params, settings, feats)
+    _, hit, _ = render_triangles(m, st, params, scene, [geo], feats,
+                                 settings.trace, binned=True, budget=64)
+    frac = float(np.asarray(hit).mean())
+    # the cube subtends ~14 deg of the 90 deg fov ~ 2% of pixels
+    assert frac > 0.005, frac
+
+
+def test_binned_overflow_counter():
+    """with_stats must report dropped candidates when the budget is too
+    small, zero when it fits, and the well-budgeted result must match."""
+    from geodesic_raytracing_tpu.triangles.render import intersect_scene_binned
+    from geodesic_raytracing_tpu.ops import integrate as ops_integrate
+
+    m = metrics.get_metric("minkowski")
+    params = m.params()
+    feats = Features.for_metric(m)
+    cube = make_cube([-8.0, 0.0, -3.0, 0.0])
+    geo = precompute_object(m, cube, params, feats, n_steps=128, segments=8)
+    scene = TriangleScene.build([cube])
+    from geodesic_raytracing_tpu.camera import Camera
+    from geodesic_raytracing_tpu.render.pipeline import (
+        RenderSettings,
+        init_camera_rays,
+    )
+
+    cam = Camera.default().rotate(pitch=-np.pi / 2)
+    settings = RenderSettings(
+        width=32, height=32, planar=False,
+        trace=TraceOptions(max_steps=128, method="scan"))
+    st, _, _ = init_camera_rays(m, cam, params, settings, feats)
+    _, path = ops_integrate.trace_rays_recorded(
+        m, st, params, features=feats, opts=settings.trace,
+        n_slots=16, steps_per_slot=8)
+    hit_small, _, stats_small = intersect_scene_binned(
+        m, path, scene, [geo], params, budget=2, with_stats=True)
+    hit_big, _, stats_big = intersect_scene_binned(
+        m, path, scene, [geo], params, budget=96, with_stats=True)
+    assert int(stats_small["dropped"]) > 0
+    assert int(stats_big["dropped"]) == 0
+    assert int(stats_big["max_overlap"]) <= 96
+    assert int(np.asarray(hit_big).sum()) > 0
