@@ -33,7 +33,7 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--height", type=int, default=540)
     ap.add_argument("--tris", type=int, default=100_000)
-    ap.add_argument("--budgets", default="32,64,128")
+    ap.add_argument("--budgets", default="64,128")
     ap.add_argument("--segments", type=int, default=8)
     ap.add_argument("--slab-blocks", type=int, default=128)
     args = ap.parse_args()
@@ -103,11 +103,11 @@ def main() -> int:
     t0 = time.perf_counter()
     final, path = integrate.trace_rays_recorded(
         m, state, params, features=feats, opts=settings.trace,
-        n_slots=16, steps_per_slot=16)
+        n_slots=32, steps_per_slot=8)
     path = jax.block_until_ready(path)
     _ = np.asarray(path[0, :1])  # force (block_until_ready is a no-op on axon)
     print(f"path trace: {time.perf_counter()-t0:.1f}s "
-          f"({W*H} rays x 16 slots)", flush=True)
+          f"({W*H} rays x 32 slots)", flush=True)
 
     N = W * H
     block = 256
