@@ -214,7 +214,11 @@ def spectral_redshift(lin_rgb: Array, z_shift: Array) -> Array:
     xy_new = _WHITE + purity[..., None] * (wavelength_to_xy(wl_obs) - _WHITE)
 
     rel_lum = xyz[..., 1]
-    new_lum = jnp.clip(rel_lum * (1.0 + z_shift) ** -3, 0.0, 1.0)
+    # Physical z > -1, but a numerically-overshooting blueshift pixel can
+    # dip 1+z to/past zero, where **-3 yields inf/NaN that jnp.clip
+    # propagates — floor the base like apply_redshift's clamp.
+    new_lum = jnp.clip(
+        rel_lum * jnp.maximum(1.0 + z_shift, 1e-3) ** -3, 0.0, 1.0)
     y = jnp.maximum(xy_new[..., 1], 1e-6)
     xyz_new = jnp.stack(
         [xy_new[..., 0] / y * new_lum,

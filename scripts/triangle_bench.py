@@ -137,12 +137,16 @@ def main() -> int:
         dt = time.perf_counter() - t0
         dropped = int(sum(np.asarray(o[2]["dropped"]) for o in outs))
         max_ov = int(max(np.asarray(o[2]["max_overlap"]) for o in outs))
-        total_cand = N // slab * slab
+        # Per-(block x segment)-chunk average over the ACTUAL chunk count
+        # (tail-slab padding duplicates the last ray, so hit/dropped totals
+        # carry a small padded-ray overcount — bounded by slab/N per slab).
+        n_slabs = -(-N // slab)
+        n_chunks = n_slabs * (slab // block) * args.segments
         print(f"budget {budget:4d}: {N/1e6/dt:6.3f} Mrays/s "
               f"({dt:.2f}s intersect, first call incl. compile), "
               f"hits {hit_total}, dropped {dropped} "
-              f"({dropped/max(total_cand,1):.2f}/chunk avg), "
-              f"max_overlap {max_ov}", flush=True)
+              f"({dropped/max(n_chunks,1):.2f}/chunk avg over {n_chunks} "
+              f"chunks), max_overlap {max_ov}", flush=True)
         # steady-state: second pass without compile
         t0 = time.perf_counter()
         outs = []

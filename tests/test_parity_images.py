@@ -58,6 +58,8 @@ def test_catalogue_golden(key):
     assert spec is not None, f"golden {key} has no scene config"
     arr = make_goldens.render_scene(key, spec).astype(int)
     golden = iio.imread(f"tests/golden/catalogue/{key}.png").astype(int)
+    # a vacuous (all-black) golden asserts nothing — never allow one in
+    assert golden.max() > 0, f"golden {key} is all-black (vacuous)"
     d = np.abs(golden - arr)
     rmse = np.sqrt((d.astype(float) ** 2).mean())
     # fp reassociation across compiler versions moves isolated texels at

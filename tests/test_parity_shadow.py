@@ -129,7 +129,7 @@ def _check_edges(name, rs, a):
         assert lo <= bc <= hi, (
             f"{name}: analytic critical b {bc:.4f} outside rendered edge "
             f"bracket [{lo:.4f}, {hi:.4f}]")
-    return cols, b, chi, M
+    return cols, b, chi, M, settings
 
 
 def test_schwarzschild_shadow_impact_parameter():
@@ -137,12 +137,13 @@ def test_schwarzschild_shadow_impact_parameter():
     rendered angular radius must match sin(alpha) =
     b_c sqrt(1 - rs/r0) / r0 (exact for a static observer) to a pixel."""
     rs = 1.0
-    cols, b, chi, M = _check_edges("schwarzschild", rs, None)
+    cols, b, chi, M, settings = _check_edges("schwarzschild", rs, None)
     b_c = 3 * np.sqrt(3) * M
     b_lo, b_hi = critical_b(M, 0.0, R_CAM)
     assert abs(b_lo + b_c) < 2e-3 and abs(b_hi - b_c) < 2e-3
     alpha = np.arcsin(b_c * np.sqrt(1 - rs / R_CAM) / R_CAM)
-    px_step = np.deg2rad(settings_fov := 90) / W  # ~coarse pixel scale
+    # ~coarse pixel scale from the ACTUAL render fov
+    px_step = np.deg2rad(settings.fov_degrees) / W
     for edge in (cols[0], cols[-1]):
         assert abs(abs(chi[edge]) - alpha) < 2.5 * px_step, (
             np.rad2deg(abs(chi[edge])), np.rad2deg(alpha))
@@ -152,7 +153,7 @@ def test_kerr_shadow_impact_parameters():
     """Kerr a/M = 0.9: the D-shaped shadow's equatorial edges must bracket
     the two analytic critical impact parameters (asymmetric: frame
     dragging shrinks the prograde side)."""
-    cols, b, chi, M = _check_edges("kerr_boyer", 1.0, -0.45)
+    cols, b, chi, M, _ = _check_edges("kerr_boyer", 1.0, -0.45)
     b_lo, b_hi = critical_b(M, -0.45, R_CAM)
     # sanity on the anchor itself: strongly asymmetric capture interval
     assert abs(abs(b_lo) - abs(b_hi)) > 0.8 * M, (b_lo, b_hi)
