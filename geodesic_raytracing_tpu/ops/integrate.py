@@ -102,6 +102,13 @@ class TraceOptions:
     # many steps (cross-lane reduction; larger amortises it, at up to
     # check_every-1 wasted masked steps per tile).
     check_every: int = 8
+    # In-kernel lane-queue compaction depth (the reference's per-work-item
+    # exit analogue, cl.cl:3954-4016): each (8, lanes) working-set lane
+    # processes queue_depth rays sequentially, refilled at check_every
+    # boundaries via K-way selects (no gather/scatter — Mosaic-legal).
+    # Lane totals average K rays' costs, so the tile's while bound tracks
+    # the mean instead of the slowest single ray.  1 = off.
+    queue_depth: int = 1
     # Phase lengths for active-ray compaction between Pallas launches
     # (empty = single launch).  E.g. (256, 1024, 4096).
     compaction: tuple = ()

@@ -84,7 +84,8 @@ def _bucket_partition(dead: Array, cost: Array | None):
 def pack_tiles(state: RayState, tile: int,
                sort_key: Array | None = None,
                f_in_x: Array | None = None,
-               block_tiles: int = 1):
+               block_tiles: int = 1,
+               queue_depth: int = 1):
     """Bucket-partition + tile-pack a RayState for the kernel.
 
     Pre-trace compaction: dead rays (prepass-killed, refinement-masked)
@@ -96,14 +97,22 @@ def pack_tiles(state: RayState, tile: int,
     ``block_tiles``: pad the tile count to a multiple of it (the kernel
     processes that many tiles per grid step; padding tiles are all-DEAD
     and exit after one iteration).
+    ``queue_depth`` (K): lane-queue mode — K tiles form one grid-step
+    group (layer k = tile k of the group); odd layers are flipped
+    ("serpentine") so each lane's K rays straddle the cost ordering and
+    lane totals equalise.  The flip is a static axis reversal, not a
+    gather — it composes with the single pack gather for free.
     """
     assert tile % SUBLANES == 0, "tile must be a multiple of 8"
+    if queue_depth > 1:
+        assert block_tiles == 1, "queue_depth and block_tiles are exclusive"
     lanes = tile // SUBLANES
     n = state.position.shape[0]
     n_pad = -(-n // tile) * tile
     n_tiles = n_pad // tile
-    if block_tiles > 1:
-        n_tiles = -(-n_tiles // block_tiles) * block_tiles
+    group = block_tiles if block_tiles > 1 else queue_depth
+    if group > 1:
+        n_tiles = -(-n_tiles // group) * group
         n_pad = n_tiles * tile
 
     dead = state.status != integrate.ACTIVE
@@ -141,14 +150,28 @@ def pack_tiles(state: RayState, tile: int,
     # single block.  Rows: pos 0-3, vel 4-7, acc 8-11, next_ds 12, rdl 13,
     # status 14, steps 15, f_in_x 16 (small ints exact as f32).
     packed = big.T.reshape(17, n_tiles, SUBLANES, lanes).transpose(1, 0, 2, 3)
+    if queue_depth > 1:
+        # Serpentine: reverse ray order within odd layers of each K-group.
+        # A tile's flattened (8, lanes) row-major ray order reverses by
+        # flipping BOTH trailing axes.
+        g = packed.reshape(n_tiles // queue_depth, queue_depth,
+                           17, SUBLANES, lanes)
+        g = g.at[:, 1::2].set(jnp.flip(g[:, 1::2], axis=(-2, -1)))
+        packed = g.reshape(n_tiles, 17, SUBLANES, lanes)
     return packed, inv_perm, n
 
 
-def unpack_tiles(outs, inv_perm: Array, n: int) -> RayState:
+def unpack_tiles(outs, inv_perm: Array, n: int,
+                 queue_depth: int = 1) -> RayState:
     """Inverse of :func:`pack_tiles` over the kernel's single (n_tiles, 16,
     8, lanes) output block — a single (N, 16) row gather, like the pack
     side."""
     n_tiles, rows, sub, lanes = outs.shape
+    if queue_depth > 1:  # undo the serpentine layer flips
+        g = outs.reshape(n_tiles // queue_depth, queue_depth,
+                         rows, sub, lanes)
+        g = g.at[:, 1::2].set(jnp.flip(g[:, 1::2], axis=(-2, -1)))
+        outs = g.reshape(n_tiles, rows, sub, lanes)
     n_pad = n_tiles * sub * lanes
     big = outs.transpose(1, 0, 2, 3).reshape(rows, n_pad).T[:n][inv_perm]
 
@@ -175,7 +198,11 @@ def launch(metric: Metric, packed, params, features: Features,
     early exit), so the pack granularity drops below the grid-step-overhead
     sweet spot."""
     n_tiles, _, _, lanes = packed.shape
+    queue_depth = max(int(opts.queue_depth), 1)
     block_tiles = max(int(opts.block_tiles), 1)
+    if queue_depth > 1:
+        assert block_tiles == 1, "queue_depth and block_tiles are exclusive"
+        block_tiles = queue_depth  # K tiles = the layers of one grid step
     assert n_tiles % block_tiles == 0, (n_tiles, block_tiles)
 
     pkeys, pvec = _flatten_params(params)
@@ -232,7 +259,112 @@ def launch(metric: Metric, packed, params, features: Features,
                 fin.steps.astype(jnp.float32)[None],
             ], axis=0)
 
-        if block_tiles == 1:
+        def run_queue():
+            """Lane-queue compaction (VERDICT r2 item 1; the reference's
+            per-work-item exit, cl.cl:3954-4016, re-expressed for SIMD
+            lanes): the working set is ONE (8, lanes) tile; each lane owns
+            a K-deep queue of rays (layer k = in_ref[k], serpentine-packed
+            by the host).  At every check_every boundary, finished lanes
+            commit their ray IN PLACE into out_ref[layer] (elementwise
+            select — a ray never changes lane, so no scatter) and reload
+            the next layer's ray via K-way iota-selects (no gather).  The
+            while bound then tracks each lane's K-ray cost SUM — near the
+            tile mean — instead of the slowest single ray.
+            """
+            K = queue_depth
+            CHECK_EVERY = opts.check_every
+            # Per-ray budget is relative to its steps at load (s_at), so
+            # phased tracing keeps today's per-phase budget semantics.
+            n_outer = K * (-(-opts.max_steps // CHECK_EVERY)) + K
+
+            def load(k):
+                blk = in_ref[k]
+                st = _StateT(
+                    position=blk[0:4], velocity=blk[4:8],
+                    acceleration=blk[8:12], next_ds=blk[12],
+                    running_dlambda_dnew=blk[13],
+                    status=blk[14].astype(jnp.int32),
+                    steps=blk[15].astype(jnp.int32),
+                )
+                return st, blk[16]
+
+            def sel(mask, new: _StateT, old: _StateT) -> _StateT:
+                m3 = mask[None]
+                return _StateT(
+                    position=jnp.where(m3, new.position, old.position),
+                    velocity=jnp.where(m3, new.velocity, old.velocity),
+                    acceleration=jnp.where(m3, new.acceleration,
+                                           old.acceleration),
+                    next_ds=jnp.where(mask, new.next_ds, old.next_ds),
+                    running_dlambda_dnew=jnp.where(
+                        mask, new.running_dlambda_dnew,
+                        old.running_dlambda_dnew),
+                    status=jnp.where(mask, new.status, old.status),
+                    steps=jnp.where(mask, new.steps, old.steps),
+                )
+
+            def as_block16(st: _StateT):
+                return jnp.concatenate([
+                    st.position, st.velocity, st.acceleration,
+                    st.next_ds[None], st.running_dlambda_dnew[None],
+                    st.status.astype(jnp.float32)[None],
+                    st.steps.astype(jnp.float32)[None],
+                ], axis=0)
+
+            # Unprocessed rays (budget exhaustion) keep their input state.
+            for k in range(K):
+                out_ref[k] = in_ref[k, 0:16]
+
+            st0, fx0 = load(0)
+            c0 = jnp.zeros(st0.next_ds.shape, jnp.int32)
+            carry0 = (jnp.int32(0), c0, st0.steps, fx0, st0)
+
+            def commit_advance(c, s_at, fx, st):
+                over = (st.steps - s_at) >= opts.max_steps
+                fin = ((st.status != integrate.ACTIVE) | over) & (c < K)
+                blk16 = as_block16(st)
+                for k in range(K):
+                    mk = fin & (c == k)
+                    out_ref[k] = jnp.where(mk[None], blk16, out_ref[k])
+                c = c + fin.astype(jnp.int32)
+                for k in range(1, K):
+                    mk = fin & (c == k)
+                    nst, nfx = load(k)
+                    st = sel(mk, nst, st)
+                    fx = jnp.where(mk, nfx, fx)
+                    s_at = jnp.where(mk, nst.steps, s_at)
+                return c, s_at, fx, st
+
+            def cond(carry):
+                i, c, _, _, _ = carry
+                return (i < n_outer) & jnp.any(c < K)
+
+            def body(carry):
+                i, c, s_at, fx, st = carry
+                step = integrate.make_step_fn(metric, kfeatures, opts, fx)
+                st = jax.lax.fori_loop(
+                    0, CHECK_EVERY, lambda _, ss: step(ss, kparams), st,
+                    unroll=CHECK_EVERY if int(opts.unroll) > 1 else 1,
+                )
+                # Two advance rounds per boundary: a freshly loaded ray
+                # that is already dead (prepass-killed padding) drains at
+                # 2 layers/boundary instead of 1.
+                c, s_at, fx, st = commit_advance(c, s_at, fx, st)
+                c, s_at, fx, st = commit_advance(c, s_at, fx, st)
+                return i + 1, c, s_at, fx, st
+
+            _, c, _, _, st = jax.lax.while_loop(cond, body, carry0)
+
+            # Budget-cap exit: lanes still mid-ray commit as-is (ACTIVE),
+            # matching the non-queue loop-cap semantics.
+            blk16 = as_block16(st)
+            for k in range(K):
+                mk = c == k
+                out_ref[k] = jnp.where(mk[None], blk16, out_ref[k])
+
+        if queue_depth > 1:
+            run_queue()
+        elif block_tiles == 1:
             out_ref[0] = run_tile(in_ref[0])
         else:
             # One while loop per tile, chained by a fori over the block's
@@ -280,6 +412,8 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
     similar cost makes tile_max track tile_mean instead of the global tail.
     """
     packed, inv_perm, n = pack_tiles(state, tile, sort_key, f_in_x,
-                                     block_tiles=max(opts.block_tiles, 1))
+                                     block_tiles=max(opts.block_tiles, 1),
+                                     queue_depth=max(opts.queue_depth, 1))
     outs = launch(metric, packed, params, features, opts, interpret=interpret)
-    return unpack_tiles(outs, inv_perm, n)
+    return unpack_tiles(outs, inv_perm, n,
+                        queue_depth=max(opts.queue_depth, 1))

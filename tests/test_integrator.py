@@ -194,6 +194,41 @@ def test_pallas_interpret_matches_xla(name):
     )
 
 
+@pytest.mark.parametrize("name", ["schwarzschild", "kerr_boyer"])
+def test_pallas_queue_matches_xla(name):
+    """queue_depth (in-kernel lane-queue compaction) must be
+    behaviour-neutral: every ray integrates the exact same step sequence
+    regardless of which layer/lane its queue slot is, so fates and final
+    states match the XLA while driver exactly (escaped positions to fp
+    tolerance)."""
+    m = metrics.get_metric(name)
+    params = m.params()
+    pos, vel = make_rays(64)
+    feats = Features.for_metric(m)
+    st = init_ray_state(m, pos, vel, params, feats)
+    # Kill a scattered subset pre-trace (prepass-killed rays ride the
+    # queue as dead-on-arrival layers and must drain without corruption).
+    st = st._replace(status=st.status.at[::7].set(2))
+    opts = TraceOptions(max_steps=4096, queue_depth=4, check_every=8)
+    ref = trace_rays(m, st, params, features=feats,
+                     opts=TraceOptions(max_steps=4096))
+    # cost sort key exercises the serpentine layering
+    key = jnp.abs(st.velocity[:, 0])
+    pal = trace_rays_pallas(m, st, params, features=feats, opts=opts,
+                            tile=16, interpret=True, sort_key=key)
+    np.testing.assert_array_equal(
+        np.asarray(ref.status), np.asarray(pal.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.steps), np.asarray(pal.steps)
+    )
+    ok = np.asarray(ref.status) == ESCAPED
+    np.testing.assert_allclose(
+        np.asarray(ref.position)[ok], np.asarray(pal.position)[ok],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_euler_integrator_close_to_verlet():
     """step_euler parity (cl.cl:3352-3377): first-order path, same fates."""
     m = metrics.get_metric("schwarzschild")
