@@ -144,6 +144,17 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
     in, image all-gather out (the out_spec) — DCN never sees per-step
     traffic.  Use ``settings.trace.method="while"`` on a CPU validation
     mesh (Pallas needs the TPU backend).
+
+    Structure: the frame runs as a host-chained sequence of per-stage
+    ``shard_map`` programs (replicated prepass, then quarter trace /
+    refine trace / finish+shade with band-local shards carried between
+    programs) — mirroring the single-device pipeline's program splits.
+    This matters twice on this stack: a program holding two or more
+    Mosaic kernels stalls the remote TPU compile service, and the old
+    monolithic band program (3 while-loop trace stages + the fused
+    shade in ONE XLA module) took 400+ s to compile even for a 1-device
+    CPU mesh (vs ~20 s as separate programs — a superlinear XLA pass).
+    Dispatch is async, so the extra program boundaries cost nothing.
     """
     if features is None:
         features = Features.for_metric(metric)
@@ -167,31 +178,31 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
     planar = pipeline._planar_enabled(metric, settings)
     opts = _dc.replace(settings.trace, planar=planar, compaction=())
 
-    def band_frame(camera, params, backgrounds):
+    # --- replicated prepass (1/256 of the frame's rays; re-tracing it on
+    # every device removes the only cross-band neighbour dependency) -----
+    kill_full = cost_full = None
+    if metric.config.use_prepass:
+        pw = max(W // settings.prepass_scale, 4)
+        ph = max(H // settings.prepass_scale, 4)
+        psettings = _dc.replace(settings, width=pw, height=ph,
+                                adaptive_sampling=False)
+        dead, psteps = pipeline._prepass_dead_map(
+            metric, camera, params, psettings, features)
+        # (Hh*Wh,) row-major: P(axis) on axis 0 splits these into exactly
+        # the per-band quarter rows.
+        kill_full = pipeline._prepass_kill(dead, W, H, Wh, Hh)
+        cost_full = pipeline._prepass_cost(psteps, W, H, Wh, Hh)
+
+    def band_coords():
         row0 = jax.lax.axis_index(axis) * Hb
-
-        kill = qcost = None
-        if metric.config.use_prepass:
-            pw = max(W // settings.prepass_scale, 4)
-            ph = max(H // settings.prepass_scale, 4)
-            psettings = _dc.replace(settings, width=pw, height=ph,
-                                    adaptive_sampling=False)
-            dead, psteps = pipeline._prepass_dead_map(
-                metric, camera, params, psettings, features)
-            kill_full = pipeline._prepass_kill(
-                dead, W, H, Wh, Hh).reshape(Hh, Wh)
-            cost_full = pipeline._prepass_cost(
-                psteps, W, H, Wh, Hh).reshape(Hh, Wh)
-            kill = jax.lax.dynamic_slice_in_dim(
-                kill_full, row0, Hb, 0).reshape(-1)
-            qcost = jax.lax.dynamic_slice_in_dim(
-                cost_full, row0, Hb, 0).reshape(-1)
-
         yy = 2.0 * (row0 + jnp.arange(Hb, dtype=jnp.int32)).astype(
             jnp.float32)
         qcy = jnp.repeat(yy, Wh)
         qcx = jnp.tile(2.0 * jnp.arange(Wh, dtype=jnp.float32), Hb)
+        return qcx, qcy
 
+    def quarter_stage(camera, params, kill, qcost):
+        qcx, qcy = band_coords()
         state, ku, iquat = pipeline._init_rays(
             metric, camera, params, settings, features, qcx, qcy, kill)
         f_in_x = jnp.abs(state.velocity[:, 0])
@@ -201,7 +212,6 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
                                           inv_quat=iquat)
         qg = pipeline.RenderData(
             *(f.reshape((Hb, Wh) + f.shape[1:]) for f in qr))
-
         # Refine packing key: quarter-neighbour max of measured step counts
         # (pipeline._refine_setup_jit's in-frame estimate).
         qsteps = qg.steps
@@ -210,7 +220,12 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
             jnp.maximum(jnp.roll(qsteps, -1, axis=0),
                         jnp.roll(qsteps, (-1, -1), axis=(0, 1))),
         ).astype(jnp.float32).reshape(-1)
+        return qr, qcost_exact
 
+    def refine_stage(camera, params, qr, qcost_exact):
+        qcx, qcy = band_coords()
+        qg = pipeline.RenderData(
+            *(f.reshape((Hb, Wh) + f.shape[1:]) for f in qr))
         should, sel, dest = pipeline._select_refine_blocks(qg, settings, k)
         sflat = should.reshape(-1)[sel]
         scx, scy = qcx[sel], qcy[sel]
@@ -226,15 +241,51 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
         rfin = integrate.trace_rays(metric, rstate, params, features=features,
                                     opts=opts, sort_key=rcost,
                                     f_in_x=rf_in_x)
+        return rfin, rku, riquat, should, sel, dest
+
+    def finish_stage(params, rfin, rku, riquat, qr, should, sel, dest,
+                     backgrounds):
         img, _ = pipeline._finish_shade_jit(
             metric, rfin, rku, riquat, params, features, qr, should, sel,
             dest, backgrounds, band_settings, k)
         return img
 
-    run = shard_map(band_frame, mesh=mesh,
-                    in_specs=(P(), P(), P()), out_specs=P(axis),
-                    check_vma=False)
-    return run(camera, params, backgrounds)
+    # One cached (shard_map + jit) program per stage per configuration —
+    # a fresh wrapper per frame would re-trace every call.
+    ckey = (metric.name, mesh, settings, k,
+            tuple(float(v) for v in features))
+    progs = _ADAPTIVE_PROGRAMS.get(ckey)
+    if progs is None:
+
+        def smap(fn, in_specs):
+            # out_specs P(axis) is a PREFIX spec: every output leaf is
+            # band-local (sharded along its leading axis).
+            return jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                     out_specs=P(axis), check_vma=False))
+
+        progs = (
+            smap(quarter_stage, (P(), P(), P(axis), P(axis))),
+            smap(refine_stage, (P(), P(), P(axis), P(axis))),
+            smap(finish_stage,
+                 (P(),) + (P(axis),) * 7 + (P(),)),
+        )
+        _ADAPTIVE_PROGRAMS[ckey] = progs
+    q_prog, r_prog, f_prog = progs
+
+    if kill_full is None:
+        # no prepass: trace everything, flat cost key
+        kill_full = jnp.zeros((Hh * Wh,), bool)
+        cost_full = jnp.zeros((Hh * Wh,), jnp.float32)
+    qr, qcost_exact = q_prog(camera, params, kill_full, cost_full)
+    rfin, rku, riquat, should, sel, dest = r_prog(
+        camera, params, qr, qcost_exact)
+    return f_prog(params, rfin, rku, riquat, qr, should, sel, dest,
+                  backgrounds)
+
+
+# Stage-program cache for sharded_adaptive_frame, keyed by
+# (metric name, mesh, settings, refine k, features values).
+_ADAPTIVE_PROGRAMS: dict = {}
 
 
 def make_train_step(metric: Metric, mesh: Mesh,

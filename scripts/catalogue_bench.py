@@ -37,6 +37,8 @@ def main() -> int:
     ap.add_argument("--settle", type=int, default=5)
     ap.add_argument("--size", default="1920x1080")
     ap.add_argument("--metrics", default=",".join(DEFAULT_METRICS))
+    ap.add_argument("--all", action="store_true",
+                    help="sweep the FULL catalogue (31 metrics)")
     args = ap.parse_args()
 
     import jax
@@ -56,8 +58,10 @@ def main() -> int:
     _, _, camera, base_settings, _ = flagship_config(W, H)
     backgrounds = bg.checker_background()
 
+    names = (list(cat.list_metrics()) if args.all
+             else args.metrics.split(","))
     results = {}
-    for name in args.metrics.split(","):
+    for name in names:
         metric = cat.get_metric(name)
         params = metric.params()
         features = Features.for_metric(metric)

@@ -1,8 +1,12 @@
-"""Multi-device scaling efficiency: rays/s at mesh sizes 1, 2, 4, 8.
+"""Multi-device scaling: rays/s at mesh sizes 1, 2, 4, 8 for BOTH the
+simple sharded trace and the PRODUCTION adaptive pipeline
+(sharded_adaptive_frame: replicated prepass + band-local quarter trace,
+budgeted refinement and traced-only shading over quarter-row bands).
 
 North-star metric: >= 85% rays/s scaling efficiency at N >= 2 (BASELINE.json).
 Runs on whatever devices exist — on this rig that is the virtual CPU mesh
-(the same shard_map code carries to pod slices unchanged).
+(the same shard_map code carries to pod slices unchanged), so numbers
+validate collective structure and per-band overhead, not real speedup.
 
 Usage:
     python scripts/scaling_bench.py [--size 192] [--cpu-devices 8]
@@ -79,6 +83,55 @@ def main() -> int:
         print(f"devices={nd}: {rate:.3f} Mrays/s  efficiency={eff:.2%}",
               flush=True)
 
+    # ----- production adaptive pipeline over quarter-row bands ----------
+    from geodesic_raytracing_tpu.parallel.mesh import sharded_adaptive_frame
+    from geodesic_raytracing_tpu.render import background as bg
+    from geodesic_raytracing_tpu.render import pipeline as pl
+
+    backgrounds = bg.checker_background(64, 128)
+    asettings = RenderSettings(
+        width=args.size, height=args.size, anisotropy=2,
+        adaptive_sampling=True, refine_budget=1.0, shade_traced_only=True,
+        trace=TraceOptions(max_steps=args.max_steps, method="while"),
+    )
+    n_pix = args.size * args.size
+    single = np.asarray(pl.render_frame(m, camera, params, backgrounds,
+                                        asettings, feats))
+    adaptive = {}
+    abase = None
+    for nd in sizes:
+        if (args.size // 2) % nd:
+            continue  # quarter rows must divide the mesh
+        mesh = ray_mesh(all_devices[:nd])
+
+        def arun():
+            img = sharded_adaptive_frame(m, mesh, camera, params,
+                                         backgrounds, asettings, feats)
+            jax.block_until_ready(img)
+            return img
+
+        img = np.asarray(arun())  # compile + correctness
+        d = np.abs(single - img).max(axis=-1)
+        rows_per_band = args.size // nd
+        interior = np.ones(args.size, bool)
+        for band in range(nd):
+            interior[band * rows_per_band:band * rows_per_band + 2] = False
+            interior[(band + 1) * rows_per_band - 2:
+                     (band + 1) * rows_per_band] = False
+        bad = float((d[interior] > 0.05).mean())
+        assert bad < 0.02, f"devices={nd}: sharded frame diverges ({bad})"
+        best = min(_timeit(arun) for _ in range(args.repeats))
+        rate = n_pix / best / 1e6
+        if abase is None:
+            abase = rate
+        eff = rate / (abase * nd)
+        adaptive[nd] = {"mrays_s": round(rate, 4),
+                        "efficiency": round(eff, 4),
+                        "interior_mismatch": round(bad, 5)}
+        print(f"adaptive devices={nd}: {rate:.3f} Mrays/s  "
+              f"efficiency={eff:.2%}  interior_mismatch={bad:.4f}",
+              flush=True)
+
     virtual = all_devices[0].platform == "cpu" and args.cpu_devices > 0
     if virtual:
         print(
@@ -89,7 +142,8 @@ def main() -> int:
             "broadcast + one image gather per frame).",
             file=sys.stderr,
         )
-    print(json.dumps({"scaling": results, "n_rays": n_rays,
+    print(json.dumps({"scaling": results, "adaptive_scaling": adaptive,
+                      "n_rays": n_rays,
                       "platform": all_devices[0].platform,
                       "virtual_devices": virtual}))
     return 0

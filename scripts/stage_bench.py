@@ -37,6 +37,13 @@ def main() -> int:
     ap.add_argument("--budget", type=float, default=None,
                     help="refine budget fraction (default: the settled "
                          "production bucket, 3/16)")
+    ap.add_argument("--queue-depth", type=int, default=None,
+                    help="override trace queue_depth (in-kernel lane-queue "
+                         "compaction; default: production setting)")
+    ap.add_argument("--tile", type=int, default=None,
+                    help="override trace tile size")
+    ap.add_argument("--check-every", type=int, default=None,
+                    help="override trace check_every")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +59,17 @@ def main() -> int:
 
     W, H = args.width, args.height
     metric, params, camera, settings, features = flagship_config(W, H)
+    tr_over = {}
+    if args.queue_depth is not None:
+        tr_over["queue_depth"] = args.queue_depth
+    if args.tile is not None:
+        tr_over["tile"] = args.tile
+    if args.check_every is not None:
+        tr_over["check_every"] = args.check_every
+    if tr_over:
+        settings = dataclasses.replace(
+            settings, trace=dataclasses.replace(settings.trace, **tr_over))
+        print(f"trace overrides: {tr_over}")
     backgrounds = bg.checker_background()
     Wh, Hh = W // 2, H // 2
     nq = Wh * Hh

@@ -219,13 +219,16 @@ def test_soft_lyapunov_window_grad_matches_fd():
     from geodesic_raytracing_tpu.render import background as bg
     from geodesic_raytracing_tpu.render import pipeline as pl
 
+    from conftest import tier
+
     m = metrics.get_metric("schwarzschild")
     camera = Camera.default().rotate(pitch=-np.pi / 2)
     backgrounds = bg.checker_background(64, 128)
     mesh = ray_mesh(jax.devices()[:1])
     settings = pl.RenderSettings(
-        width=48, height=48,
-        trace=TraceOptions(max_steps=512, method="scan", remat_every=64),
+        width=tier(32, 48), height=tier(32, 48),
+        trace=TraceOptions(max_steps=tier(384, 512), method="scan",
+                           remat_every=64),
     )
     feats = Features.for_metric(m)
     step = make_train_step(m, mesh, settings, feats, grad_step_cap=128)

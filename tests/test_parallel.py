@@ -59,19 +59,25 @@ def test_sharded_adaptive_frame_matches_single_device():
     reproduce the single-device frame.  Band boundaries fall under the
     must-refine border rule, so boundary blocks are TRACED in the sharded
     frame where the single-device frame may interpolate — those pixels can
-    differ by the interpolation softening; everything else matches."""
-    import dataclasses
+    differ by the interpolation softening; everything else matches.
+
+    Fast tier: 48^2/384 steps (~1 min on the 2-core CI box); SUITE_FULL=1
+    restores the 64^2/2048 configuration (the full run took 20+ min — half
+    the old suite time)."""
+    from conftest import tier
 
     from geodesic_raytracing_tpu.parallel.mesh import sharded_adaptive_frame
     from geodesic_raytracing_tpu.render import pipeline as pl
 
+    size = tier(48, 64)
+    max_steps = tier(384, 2048)
     m = metrics.get_metric("kerr_boyer")
     camera = Camera.default().rotate(pitch=-np.pi / 2)
     backgrounds = bg.checker_background(64, 128)
     settings = RenderSettings(
-        width=64, height=64, anisotropy=2, adaptive_sampling=True,
+        width=size, height=size, anisotropy=2, adaptive_sampling=True,
         refine_budget=1.0, shade_traced_only=True,
-        trace=TraceOptions(max_steps=2048, method="while"),
+        trace=TraceOptions(max_steps=max_steps, method="while"),
     )
     feats = Features.for_metric(m)
     single = np.asarray(pl.render_frame(m, camera, m.params(), backgrounds,
@@ -84,8 +90,8 @@ def test_sharded_adaptive_frame_matches_single_device():
     d = np.abs(single - sharded).max(axis=-1)
     # Rows away from band boundaries must match exactly; boundary rows may
     # differ (traced vs interpolated).
-    Hb2 = 64 // 8  # full-res rows per band
-    interior = np.ones(64, bool)
+    Hb2 = size // 8  # full-res rows per band
+    interior = np.ones(size, bool)
     for b in range(8):
         interior[b * Hb2:b * Hb2 + 2] = False      # band top block row
         interior[(b + 1) * Hb2 - 2:(b + 1) * Hb2] = False  # band bottom
@@ -131,10 +137,13 @@ def test_train_step_grad_finite_at_scale():
     """Regression: the 128^2/1024-step Kerr fit NaN'd its parameter
     gradient before the two-pass pre-kill (dying rays' divergent trial
     evaluations feed inf primals into reverse mode; photon-ring rays past
-    the Lyapunov step cap overflow fp32 tangents).  Two optimisation
-    steps through the exact failing configuration must stay finite and
-    reduce the loss."""
+    the Lyapunov step cap overflow fp32 tangents).  Optimisation steps
+    through the failing configuration must stay finite and reduce the
+    loss.  Fast tier runs 64^2/512 (same recipe, same Kerr shadow edge in
+    frame); SUITE_FULL=1 restores the exact 128^2/1024 failing config."""
     import numpy as np
+
+    from conftest import tier
 
     from geodesic_raytracing_tpu import metrics
     from geodesic_raytracing_tpu.camera import Camera
@@ -149,8 +158,9 @@ def test_train_step_grad_finite_at_scale():
     backgrounds = bg.checker_background(128, 256)
     mesh = ray_mesh(jax.devices()[:1])
     settings = RenderSettings(
-        width=128, height=128,
-        trace=TraceOptions(max_steps=1024, method="scan", remat_every=128),
+        width=tier(64, 128), height=tier(64, 128),
+        trace=TraceOptions(max_steps=tier(512, 1024), method="scan",
+                           remat_every=tier(64, 128)),
     )
     features = Features.for_metric(metric)
     step = make_train_step(metric, mesh, settings, features)

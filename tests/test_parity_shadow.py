@@ -25,7 +25,12 @@ from geodesic_raytracing_tpu.render import background as bg
 from geodesic_raytracing_tpu.render import pipeline as pl
 from geodesic_raytracing_tpu.render.pipeline import RenderSettings, render_frame
 
-W = H = 192
+# Fast tier renders 128^2 (edge brackets are pixel-relative, so the
+# analytic assertions hold at any resolution); SUITE_FULL=1 restores the
+# 192^2 renders (sharper brackets, ~3x the CPU time).
+from conftest import tier  # noqa: E402
+
+W = H = tier(128, 192)
 R_CAM = 7.0
 
 
