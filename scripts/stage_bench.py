@@ -227,6 +227,32 @@ def main() -> int:
               f"{executed/max(committed,1):.2f}")
         return executed
 
+    def divergence_queue(tag, steps, dead, cost, tile, ce, K):
+        """Model the lane-queue kernel's executed work: lanes consume K
+        serpentine-packed rays each; a grid step runs until its slowest
+        LANE SUM drains (plus one ce-quantised boundary per ray)."""
+        steps = np.asarray(steps)
+        perm, _ = raymarch._bucket_partition(
+            jnp.asarray(dead), None if cost is None
+            else jnp.asarray(cost, jnp.float32))
+        s = steps[np.asarray(perm)]
+        group = K * tile
+        n_pad = -(-s.size // group) * group
+        s = np.pad(s, (0, n_pad - s.size))
+        g = s.reshape(-1, K, tile)
+        g[:, 1::2] = g[:, 1::2, ::-1]  # serpentine
+        # per-lane boundaries: each ray costs ceil(steps/ce) inner blocks,
+        # minimum 1 (dead-on-arrival rays drain at <= 2 layers/boundary,
+        # approximated as 1 block each)
+        blocks = np.maximum(np.ceil(g / ce), 1.0).sum(axis=1)  # (grp, tile)
+        iters = blocks.max(axis=1)  # slowest lane per grid step
+        executed = (iters * ce * tile).sum()
+        committed = steps.sum()
+        print(f"{tag:10s} tile {tile:5d} ce {ce:3d} K {K:2d} "
+              f"committed {committed/1e6:8.1f} Msteps   "
+              f"executed {executed/1e6:8.1f}   waste x"
+              f"{executed/max(committed,1):.2f}")
+
     for tile in (512, 1024, 2048, 4096):
         for ce in (4, 8):
             divergence("quarter", qstate.steps,
@@ -235,6 +261,14 @@ def main() -> int:
             divergence("refine", rstate.steps,
                        np.asarray(rstate0.status != 0),
                        np.asarray(rcost), tile, ce)
+    for ce in (8, 16):
+        for K in (4, 8, 16):
+            divergence_queue("quarter", qstate.steps,
+                             np.asarray(qstate0.status != 0),
+                             np.asarray(qcost), 2048, ce, K)
+            divergence_queue("refine", rstate.steps,
+                             np.asarray(rstate0.status != 0),
+                             np.asarray(rcost), 2048, ce, K)
 
     if args.save_npz:
         np.savez(args.save_npz,
