@@ -16,11 +16,15 @@ import numpy as np
 
 # Production trace tuning (shared with cli.py's TPU default).  See
 # BENCH_NOTES.md for the measurements behind every value.
+# GRT_QUEUE_DEPTH overrides the lane-queue compaction depth for A/B runs.
 def production_trace(max_steps: int = 16384):
+    import os
+
     from .ops.integrate import TraceOptions
 
+    qd = int(os.environ.get("GRT_QUEUE_DEPTH", "4"))
     return TraceOptions(max_steps=max_steps, method="pallas", tile=2048,
-                        check_every=16)
+                        check_every=16, queue_depth=qd)
 
 
 # Demand-matched EWA probe schedules — see the comment in flagship_config.

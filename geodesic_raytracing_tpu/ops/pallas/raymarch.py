@@ -346,10 +346,11 @@ def launch(metric: Metric, packed, params, features: Features,
                     0, CHECK_EVERY, lambda _, ss: step(ss, kparams), st,
                     unroll=CHECK_EVERY if int(opts.unroll) > 1 else 1,
                 )
-                # Two advance rounds per boundary: a freshly loaded ray
-                # that is already dead (prepass-killed padding) drains at
-                # 2 layers/boundary instead of 1.
-                c, s_at, fx, st = commit_advance(c, s_at, fx, st)
+                # One advance round per boundary: the commit+refill selects
+                # are the kernel's overhead (measured ~5%/round at K=8),
+                # and a dead-ray chain draining 1 layer/boundary costs the
+                # same executed steps as the K=1 kernel's one-boundary
+                # whole-dead-tile exit spread over K tiles.
                 c, s_at, fx, st = commit_advance(c, s_at, fx, st)
                 return i + 1, c, s_at, fx, st
 
