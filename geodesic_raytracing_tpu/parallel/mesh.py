@@ -329,7 +329,18 @@ def make_train_step(metric: Metric, mesh: Mesh,
     import dataclasses as _dc
 
     if grad_hard_cap is None:
-        grad_hard_cap = min(2 * grad_step_cap, settings.trace.max_steps)
+        # Keep lanes only up to the fp32 weight-underflow boundary: a lane
+        # more than ~128/decay steps past the soft cap has loss weight
+        # 2^-128 == 0 EXACTLY, yet its deep photon-ring Jacobian can
+        # overflow fp32 mid-backward and inject inf*0 = NaN into the batch
+        # gradient.  Measured at 256^2/2048 Kerr (scripts/fit_nan_probe.py):
+        # hard cap 896 NaNs both parameter gradients; 768 and 640 are
+        # finite with BIT-IDENTICAL loss and gradient (the excluded lanes
+        # carried zero weight).  The tighter window also shortens the
+        # differentiable scan (2.20 -> ~1.4 s/step at 256^2).
+        margin = int(np.ceil(128.0 / max(float(soft_decay_bits), 1e-6)))
+        grad_hard_cap = min(2 * grad_step_cap, grad_step_cap + margin,
+                            settings.trace.max_steps)
     grad_hard_cap = min(grad_hard_cap, settings.trace.max_steps)
 
     opts = settings.trace
