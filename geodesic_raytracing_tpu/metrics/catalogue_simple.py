@@ -174,8 +174,11 @@ def schwarzschild_ef_hawking_fn(x, params):
     v, r, theta = x[0], x[1], x[2]
     M0 = rs_base / 2.0
     k_squiggle = M0 * M0 * M0 / lifetime
-    k_dash = 2.0 * k_squiggle ** (1.0 / 3.0)
-    negative_branch = k_dash * jnp.maximum(lifetime - v, 0.0) ** (1.0 / 3.0)
+    # Cube roots via geometry.pow_pos: k_dash is a params-only (scalar)
+    # expression and Mosaic's scalar core cannot lower math.powf.
+    k_dash = 2.0 * geometry.pow_pos(k_squiggle, 1.0 / 3.0)
+    negative_branch = k_dash * geometry.pow_pos(
+        jnp.maximum(lifetime - v, 0.0), 1.0 / 3.0)
     rs_v = jnp.where(v <= lifetime, negative_branch, 0.0)
     st = jnp.sin(theta)
     return sym_metric(

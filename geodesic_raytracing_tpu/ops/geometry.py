@@ -113,6 +113,22 @@ def _arctan2_jvp(primals, tangents):
     return arctan2(y, x), (x * dy - y * dx) / d
 
 
+def pow_pos(base: Array, exponent) -> Array:
+    """``base ** exponent`` for ``base >= 0`` without the ``pow``
+    primitive.
+
+    Mosaic's SCALAR core has no ``math.powf`` lowering, so a pow on a
+    params-only (rank-0, SMEM) expression inside a Pallas kernel fails to
+    compile — found by the full-catalogue TPU sweep on
+    schwarzschild_ingoing_ef_hawking's k_dash (vector powf does lower;
+    janis_newman_winicour uses it).  ``exp(exponent * log(base))`` lowers
+    in both domains; ``base == 0`` maps to exactly 0 (matching
+    ``0.0 ** p`` for p > 0) instead of exp(-inf) edge cases.
+    """
+    safe = jnp.maximum(base, 1e-37)
+    return jnp.where(base > 0, jnp.exp(jnp.log(safe) * exponent), 0.0)
+
+
 def arcsin(x: Array) -> Array:
     """Mosaic-safe asin via atan2."""
     return arctan2(x, jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)))

@@ -473,6 +473,14 @@ def metric_pallas_compatible(metric: Metric) -> bool:
         for eq in jx.eqns:
             if eq.primitive.name in _MOSAIC_BANNED:
                 return False
+            if eq.primitive.name == "pow":
+                # Mosaic lowers VECTOR math.powf but has no SCALAR powf:
+                # a pow on a params-only (rank-0) expression fails the
+                # remote compile (found on the hawking metric's k_dash).
+                # Metrics should use geometry.pow_pos instead.
+                if all(getattr(getattr(v, "aval", None), "ndim", 1) == 0
+                       for v in eq.invars):
+                    return False
             for v in list(eq.invars) + list(eq.outvars):
                 dt = getattr(getattr(v, "aval", None), "dtype", None)
                 if dt is not None and jnp.issubdtype(dt, jnp.complexfloating):

@@ -39,6 +39,11 @@ def main() -> int:
     ap.add_argument("--metrics", default=",".join(DEFAULT_METRICS))
     ap.add_argument("--all", action="store_true",
                     help="sweep the FULL catalogue (31 metrics)")
+    ap.add_argument("--legacy-shade", action="store_true",
+                    help="use the pre-round-2 full-res shade path "
+                         "(render_data_adaptive + shade) instead of the "
+                         "production traced-only render_frame — for "
+                         "comparability with older recorded tables")
     args = ap.parse_args()
 
     import jax
@@ -69,9 +74,17 @@ def main() -> int:
         controller = pl.RefineBudgetController()
 
         def frame():
-            rdata = pl.render_data_adaptive(metric, camera, params, settings,
-                                            features, controller=controller)
-            img = pl._shade_jit(rdata, backgrounds, settings)
+            # The PRODUCTION frame (same call as bench.py): adaptive
+            # pipeline + demand-sized refinement + traced-only shading.
+            if args.legacy_shade:
+                rdata = pl.render_data_adaptive(metric, camera, params,
+                                                settings, features,
+                                                controller=controller)
+                img = pl._shade_jit(rdata, backgrounds, settings)
+            else:
+                img = pl.render_frame(metric, camera, params, backgrounds,
+                                      settings, features,
+                                      controller=controller)
             return jnp.sum(img[::256, ::256])
 
         try:

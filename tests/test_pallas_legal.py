@@ -77,3 +77,37 @@ def test_step_fn_is_mosaic_legal(name):
         f"{name}: step jaxpr contains Mosaic-illegal primitives {sorted(bad)}"
         " — use the ops.geometry replacements"
     )
+
+
+def test_scalar_pow_flagged_incompatible():
+    """Mosaic lowers vector math.powf but has NO scalar powf: a pow on a
+    params-only (rank-0) expression fails the remote TPU compile (found
+    by the full-catalogue sweep on the hawking metric's k_dash).  The
+    CPU-side compatibility scan must flag it."""
+    from geodesic_raytracing_tpu.metrics.base import (Metric, diag_metric,
+                                                      make_config)
+
+    def bad_fn(x, params):
+        s = params["q"] ** 0.37  # params-only -> scalar pow in-kernel
+        r = x[1]
+        return diag_metric(-1.0, 1.0, r * r * s, r * r * s)
+
+    m = Metric(name="_scalar_pow_probe", fn=bad_fn,
+               config=make_config("polar_base", name="_scalar_pow_probe"),
+               defaults={"q": 2.0}, diagonal=True, depends_on=(1,))
+    assert not integrate.metric_pallas_compatible(m)
+
+
+def test_pow_pos_matches_pow():
+    """geometry.pow_pos (the Mosaic-safe exp/log form) must match ** on
+    positive bases and give exactly 0 at base 0."""
+    import numpy as np
+
+    from geodesic_raytracing_tpu.ops import geometry
+
+    z = jnp.asarray([0.0, 1e-6, 0.5, 1.0, 7.3, 1234.5], jnp.float32)
+    for e in (1.0 / 3.0, 0.25, 1.4):
+        got = np.asarray(geometry.pow_pos(z, e))
+        want = np.asarray(z) ** e
+        np.testing.assert_allclose(got[1:], want[1:], rtol=2e-6)
+        assert got[0] == 0.0
