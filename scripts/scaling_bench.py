@@ -19,6 +19,8 @@ import json
 import sys
 import time
 
+sys.path.insert(0, ".")
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
