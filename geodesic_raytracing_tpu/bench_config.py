@@ -28,7 +28,13 @@ def production_trace(max_steps: int = 16384):
 
 
 # Demand-matched EWA probe schedules — see the comment in flagship_config.
-PRODUCTION_PROBE_SEGMENTS = ((0.072, 7), (0.11, 3))
+# Round 3 (VERDICT r2 item 7): the 3-probe mid tier was measured
+# inefficient — widening the 7-probe tier to the top 11% and dropping the
+# mid tier entirely is BOTH cheaper and better on the synthetic-warp
+# quality harness (rows/px 1.93 -> 1.87, RMSE_hot 0.0363 -> 0.0325-0.0346;
+# sweep in scripts/shade_quality.py's harness: ((.09,7)) loses quality,
+# ((.13,7))/((.11,9)) cost more with no gain, 2-tier variants cost 2.08).
+PRODUCTION_PROBE_SEGMENTS = ((0.11, 7),)
 # The refine shade set (traced-only shading) concentrates at terminator
 # edges: measured want-probe demand on the flagship frame is 38% >= 8
 # probes, 49% >= 2 (scripts/stage_bench.py r-set line), vs 7.2%/35% for the
