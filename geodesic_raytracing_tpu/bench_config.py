@@ -22,7 +22,13 @@ def production_trace(max_steps: int = 16384):
 
     from .ops.integrate import TraceOptions
 
-    qd = int(os.environ.get("GRT_QUEUE_DEPTH", "4"))
+    qd_env = os.environ.get("GRT_QUEUE_DEPTH")
+    qd = int(qd_env) if qd_env is not None else 4
+    if qd_env is not None and qd != 4:
+        # A leftover export from an A/B session silently changing the
+        # production kernel config would poison bench numbers — say so.
+        print(f"[bench_config] GRT_QUEUE_DEPTH={qd} overrides the "
+              "production queue depth (default 4)")
     return TraceOptions(max_steps=max_steps, method="pallas", tile=2048,
                         check_every=16, queue_depth=qd)
 

@@ -123,10 +123,12 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
       is band-local — zero per-step communication, exactly the
       embarrassingly-parallel structure of the reference's one-work-item-
       per-pixel dispatch (SURVEY §2.4).
-    * The 16x prepass is replicated per device instead of halo-exchanged:
-      it is 1/256 of the frame's rays, so re-tracing it everywhere costs
-      ~0.4% of a frame and removes the only cross-band neighbour
-      dependency (the 5-cell kill test).
+    * The 16x prepass is computed ONCE per frame as its own global
+      program (it is 1/256 of the frame's rays) and its kill/cost maps
+      are scattered into bands by the ``P(axis)`` in_specs of the
+      quarter stage.  Computing it globally — rather than per band —
+      removes the only cross-band neighbour dependency (the 5-cell kill
+      test straddles band boundaries).
     * The refinement decision's cross-block neighbour tests run per band;
       band-boundary rows fall under the same must-refine rule as image
       borders (pipeline._refine_error_terms), so a band boundary only ever
@@ -178,8 +180,9 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
     planar = pipeline._planar_enabled(metric, settings)
     opts = _dc.replace(settings.trace, planar=planar, compaction=())
 
-    # --- replicated prepass (1/256 of the frame's rays; re-tracing it on
-    # every device removes the only cross-band neighbour dependency) -----
+    # --- global prepass (1/256 of the frame's rays), run once outside the
+    # band programs; the P(axis) in_specs scatter its maps into bands,
+    # removing the only cross-band neighbour dependency (5-cell kill) ----
     kill_full = cost_full = None
     if metric.config.use_prepass:
         pw = max(W // settings.prepass_scale, 4)
@@ -251,11 +254,17 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
         return img
 
     # One cached (shard_map + jit) program per stage per configuration —
-    # a fresh wrapper per frame would re-trace every call.
-    ckey = (metric.name, mesh, settings, k,
+    # a fresh wrapper per frame would re-trace every call.  Keyed by
+    # id(metric) (the closures capture the Metric object, so two distinct
+    # instances under one name must NOT share a program) and bounded: the
+    # interactive path swaps metrics freely and the programs pin compiled
+    # executables.
+    ckey = (id(metric), metric.name, mesh, settings, k,
             tuple(float(v) for v in features))
     progs = _ADAPTIVE_PROGRAMS.get(ckey)
     if progs is None:
+        if len(_ADAPTIVE_PROGRAMS) >= _ADAPTIVE_PROGRAMS_CAP:
+            _ADAPTIVE_PROGRAMS.pop(next(iter(_ADAPTIVE_PROGRAMS)))
 
         def smap(fn, in_specs):
             # out_specs P(axis) is a PREFIX spec: every output leaf is
@@ -284,8 +293,10 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
 
 
 # Stage-program cache for sharded_adaptive_frame, keyed by
-# (metric name, mesh, settings, refine k, features values).
+# (id(metric), metric name, mesh, settings, refine k, features values);
+# FIFO-bounded so long interactive sessions can't pin unbounded programs.
 _ADAPTIVE_PROGRAMS: dict = {}
+_ADAPTIVE_PROGRAMS_CAP = 32
 
 
 def make_train_step(metric: Metric, mesh: Mesh,
@@ -330,15 +341,18 @@ def make_train_step(metric: Metric, mesh: Mesh,
 
     if grad_hard_cap is None:
         # Keep lanes only up to the fp32 weight-underflow boundary: a lane
-        # more than ~128/decay steps past the soft cap has loss weight
-        # 2^-128 == 0 EXACTLY, yet its deep photon-ring Jacobian can
-        # overflow fp32 mid-backward and inject inf*0 = NaN into the batch
-        # gradient.  Measured at 256^2/2048 Kerr (scripts/fit_nan_probe.py):
-        # hard cap 896 NaNs both parameter gradients; 768 and 640 are
-        # finite with BIT-IDENTICAL loss and gradient (the excluded lanes
-        # carried zero weight).  The tighter window also shortens the
-        # differentiable scan (2.20 -> ~1.4 s/step at 256^2).
-        margin = int(np.ceil(128.0 / max(float(soft_decay_bits), 1e-6)))
+        # more than ~149/decay steps past the soft cap has loss weight
+        # 2^-149 == 0 EXACTLY in IEEE fp32 (smallest subnormal is 2^-149;
+        # 128 bits would only be exact under flush-to-zero, i.e. on TPU
+        # but not the CPU scan path), yet its deep photon-ring Jacobian
+        # can overflow fp32 mid-backward and inject inf*0 = NaN into the
+        # batch gradient.  Measured at 256^2/2048 Kerr
+        # (scripts/fit_nan_probe.py): hard cap 896 NaNs both parameter
+        # gradients; 768 and 640 are finite with BIT-IDENTICAL loss and
+        # gradient (the excluded lanes carried zero weight).  The tighter
+        # window also shortens the differentiable scan (2.20 -> ~1.4
+        # s/step at 256^2).
+        margin = int(np.ceil(149.0 / max(float(soft_decay_bits), 1e-6)))
         grad_hard_cap = min(2 * grad_step_cap, grad_step_cap + margin,
                             settings.trace.max_steps)
     grad_hard_cap = min(grad_hard_cap, settings.trace.max_steps)
