@@ -132,6 +132,7 @@ def load_metric_from_module(directory: Path, stem: str) -> mbase.Metric:
             getattr(mod, "SPHERICALLY_SYMMETRIC", False)
         ),
         depends_on=tuple(getattr(mod, "DEPENDS_ON", (0, 1, 2, 3))),
+        rank1=getattr(mod, "RANK1", None),
     )
 
 

@@ -212,6 +212,13 @@ class Metric:
     # sparsity symbolically: debiggen metric.hpp:665-708); validated against
     # numeric probes by tests/test_metrics_catalogue.
     structure: frozenset | None = None
+    # Kerr-Schild decomposition ``(x, params) -> (f, l)`` with
+    # g = eta + f l ox l and l eta-null: enables the rank-1
+    # Sherman-Morrison acceleration fast path
+    # (ops.geometry.acceleration_batched_rank1) in the integrator.  Must
+    # satisfy fn(x, p) == minkowski_plus(*rank1(x, p)) (validated by
+    # tests/test_metrics_catalogue.py).
+    rank1: Callable | None = None
 
     # -- parameter handling --------------------------------------------------
     def params(self, **overrides) -> dict:

@@ -56,25 +56,35 @@ kerr_boyer = register(
 )
 
 
-def kerr_schild_fn(x, params):
-    """scripts/kerr_schild.js — Kerr in Kerr-Schild cartesian coordinates
-    (arXiv:0706.0622): g = eta + f l l."""
+def kerr_schild_fl(x, params):
+    """Kerr-Schild decomposition (f, l) of scripts/kerr_schild.js: the
+    shared (r, l, f) chain behind :func:`kerr_schild_fn`, exposed for the
+    rank-1 acceleration fast path.  Divisions go through ``recip`` once
+    so the JVP/transpose sweeps stay div-free."""
     a, rs = params["a"], params["rs"]
-    t, xx, y, z = x[0], x[1], x[2], x[3]
+    xx, y, z = x[1], x[2], x[3]
     R2 = xx * xx + y * y + z * z
     Rm2 = xx * xx + y * y - z * z
     r2 = (-a * a + jnp.sqrt(a ** 4 - 2.0 * a * a * Rm2 + R2 * R2) + R2) / 2.0
     r = jnp.sqrt(r2)
+    inv_ra = recip(r2 + a * a)
+    inv_r = recip(r)
     lv = jnp.stack(
         [
             jnp.ones_like(r),
-            (r * xx + a * y) / (r2 + a * a),
-            (r * y - a * xx) / (r2 + a * a),
-            z / r,
+            (r * xx + a * y) * inv_ra,
+            (r * y - a * xx) * inv_ra,
+            z * inv_r,
         ]
     )
-    f = rs * r2 * r / (r2 * r2 + a * a * z * z)
-    return minkowski_plus(f, lv)
+    f = rs * r2 * r * recip(r2 * r2 + a * a * z * z)
+    return f, lv
+
+
+def kerr_schild_fn(x, params):
+    """scripts/kerr_schild.js — Kerr in Kerr-Schild cartesian coordinates
+    (arXiv:0706.0622): g = eta + f l l."""
+    return minkowski_plus(*kerr_schild_fl(x, params))
 
 
 kerr_schild = register(
@@ -92,6 +102,7 @@ kerr_schild = register(
         ),
         defaults={"a": -0.5, "rs": 1.0},
         depends_on=(1, 2, 3),
+        rank1=kerr_schild_fl,
     )
 )
 
@@ -187,25 +198,33 @@ kerr_newman_boyer = register(
 )
 
 
-def kerr_newman_schild_fn(x, params):
-    """scripts/kerr_newman_schild.js — Kerr-Newman in Kerr-Schild cartesian
-    coordinates (f gains the -Q^2 charge term)."""
+def kerr_newman_schild_fl(x, params):
+    """Kerr-Schild decomposition (f, l) of scripts/kerr_newman_schild.js
+    (f gains the -Q^2 charge term); see :func:`kerr_schild_fl`."""
     a, rs, Q = params["a"], params["rs"], params["Q"]
-    t, xx, y, z = x[0], x[1], x[2], x[3]
+    xx, y, z = x[1], x[2], x[3]
     R2 = xx * xx + y * y + z * z
     Rm2 = xx * xx + y * y - z * z
     r2 = (-a * a + jnp.sqrt(a ** 4 - 2.0 * a * a * Rm2 + R2 * R2) + R2) / 2.0
     r = jnp.sqrt(r2)
+    inv_ra = recip(r2 + a * a)
+    inv_r = recip(r)
     lv = jnp.stack(
         [
             jnp.ones_like(r),
-            (r * xx + a * y) / (r2 + a * a),
-            (r * y - a * xx) / (r2 + a * a),
-            z / r,
+            (r * xx + a * y) * inv_ra,
+            (r * y - a * xx) * inv_ra,
+            z * inv_r,
         ]
     )
-    f = (rs * r - Q * Q) * r * r / (r2 * r2 + a * a * z * z)
-    return minkowski_plus(f, lv)
+    f = (rs * r - Q * Q) * r * r * recip(r2 * r2 + a * a * z * z)
+    return f, lv
+
+
+def kerr_newman_schild_fn(x, params):
+    """scripts/kerr_newman_schild.js — Kerr-Newman in Kerr-Schild cartesian
+    coordinates (f gains the -Q^2 charge term)."""
+    return minkowski_plus(*kerr_newman_schild_fl(x, params))
 
 
 kerr_newman_schild = register(
@@ -222,6 +241,7 @@ kerr_newman_schild = register(
         ),
         defaults={"a": -0.51, "rs": 1.0, "Q": 0.51},
         depends_on=(1, 2, 3),
+        rank1=kerr_newman_schild_fl,
     )
 )
 

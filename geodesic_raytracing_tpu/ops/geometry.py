@@ -565,6 +565,58 @@ def acceleration_batched(g, x: Array, v: Array, params,
     return jnp.stack(out)
 
 
+def acceleration_batched_rank1(h, x: Array, v: Array, params) -> Array:
+    """Kerr-Schild fast path: geodesic acceleration for g = eta + f l ox l.
+
+    ``h(x, params) -> (f, l)`` with ``f`` of shape (N,) and the covariant
+    null vector ``l`` of shape (4, N).  The reference hand-optimises only
+    the diagonal Christoffel contraction (cl.cl:685-736); this is the
+    analogous structural specialisation for its non-diagonal Kerr-Schild
+    scripts (scripts/kerr_schild.js, kerr_newman_schild.js), which the
+    generic path treats as dense 4x4 metrics (16-component JVP sweeps +
+    cofactor inverse).
+
+    Derivation (all per-lane scalars/4-vectors):
+        g_ab   = eta_ab + f l_a l_b
+        d_c g_ab = (d_c f) l_a l_b + f (d_c l_a) l_b + f l_a (d_c l_b)
+        S_n    = v^a v^b (d_a g_nb - 1/2 d_n g_ab)
+               = (Df lv + f q) l_n + f lv w_n  -  d_n(1/2 f lv^2)|_v const
+          with lv = l_a v^a, Df = v^a d_a f, w_n = v^a d_a l_n,
+          q = v^b w_b
+        g^-1   = eta^-1 - (f / (1 + f l.eta.l)) lt ox lt   (Sherman-
+                 Morrison; lt = eta^-1 l, and l.eta.l == 0 analytically —
+                 the denominator only absorbs fp32 rounding of l)
+        a^mu   = -(eta^-1 S)^mu + (f/(1+f l.eta.l)) lt^mu (lt . S)
+
+    Cost: ONE primal trace of the (f, l) chain (shared via
+    ``jax.linearize``), one directional JVP (seed v) for (Df, w), and one
+    transposed-linear pass (``jax.linear_transpose`` — reuses the
+    linearization residuals, no second primal) for the gradient of
+    1/2 f lv^2 — versus the generic path's 3 coordinate-seed tangent
+    passes over all 16 g components plus a dense symmetric inverse.
+    Validated exactly against the dense path in
+    tests/test_metrics_catalogue.py.
+    """
+    fun = lambda y: h(y, params)
+    (f, l), h_lin = jax.linearize(fun, x)
+    Df, w = h_lin(v)
+    lv = jnp.sum(l * v, axis=0)
+    q = jnp.sum(w * v, axis=0)
+    flv = f * lv
+    # Term2_n = d_n (1/2 f lv^2) via the transpose of the SAME
+    # linearization: cotangents (1/2 lv^2) on f and (f lv v^b) on l_b.
+    h_lin_T = jax.linear_transpose(h_lin, x)
+    (term2,) = h_lin_T((0.5 * lv * lv, flv[None, :] * v))
+    term1 = (lv * Df + f * q)[None, :] * l + flv[None, :] * w
+    S = term1 - term2
+    sign = select4((-1.0, 1.0, 1.0, 1.0), x)
+    lt = sign * l                      # eta^-1 l (contravariant)
+    l_eta_l = jnp.sum(lt * l, axis=0)  # == 0 up to fp rounding
+    scale = f * recip(1.0 + f * l_eta_l)
+    ltS = jnp.sum(lt * S, axis=0)
+    return -sign * S + (scale * ltS)[None, :] * lt
+
+
 def fix_null_batched(gab: Array, v: Array) -> Array:
     """Batched :func:`fix_null` for gab (4,4,N), v (4,N)."""
     vs = v.at[0].set(0.0)

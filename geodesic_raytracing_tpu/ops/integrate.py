@@ -112,6 +112,19 @@ class TraceOptions:
     # Phase lengths for active-ray compaction between Pallas launches
     # (empty = single launch).  E.g. (256, 1024, 4096).
     compaction: tuple = ()
+    # Slim pack (pallas): the caller guarantees the input RayState is FRESH
+    # from init_ray_state (steps == 0, running_dlambda == 1, status in
+    # {ACTIVE, DEAD}, f_in_x == |v_t|) — the pack gathers only
+    # pos/vel/status (9 rows instead of 17) and the kernel re-derives
+    # acceleration and next_ds at tile load (~1 step per ray, ~0.5% of the
+    # march).  Set by the pipeline's _trace_phases for first phases; the
+    # pack/unpack glue was ~23 ms of the 120 ms production frame.
+    fresh_pack: bool = False
+    # Slim output (pallas): emit only pos/vel/rdl/status/steps (11 rows
+    # instead of 16) — valid when the consumer is compute_render_data
+    # (acceleration / next_ds unused post-trace).  Final phases only: a
+    # chained phase needs the full state.
+    slim_out: bool = False
 
 
 class RayState(NamedTuple):
@@ -196,6 +209,19 @@ def acceleration_to_precision(acc: Array, max_acceleration, w_v,
     return diff, next_ds
 
 
+def metric_acceleration(metric: Metric, pos, vel, params, deps=None):
+    """Geodesic acceleration dispatch: the rank-1 Kerr-Schild fast path
+    when the metric declares a decomposition (Metric.rank1), else the
+    sparsity-pruned generic contraction."""
+    if deps is None:
+        deps = metric.depends_on
+    if metric.rank1 is not None:
+        return geometry.acceleration_batched_rank1(
+            metric.rank1, pos, vel, params)
+    return geometry.acceleration_batched(metric.fn, pos, vel, params,
+                                         deps=deps, nz=metric.nonzeros())
+
+
 def verlet_step(metric: Metric, position, velocity, acceleration, ds, params,
                 reparameterisation: bool, deps=None):
     """cl.cl:3273-3346 — velocity Verlet with optional affine
@@ -206,10 +232,8 @@ def verlet_step(metric: Metric, position, velocity, acceleration, ds, params,
     ds_ = ds[None, :] if position.ndim == 2 else ds
     next_position = position + velocity * ds_ + 0.5 * acceleration * ds_ * ds_
     intermediate_velocity = velocity + acceleration * ds_
-    next_acceleration = geometry.acceleration_batched(
-        metric.fn, next_position, intermediate_velocity, params,
-        deps=deps, nz=metric.nonzeros(),
-    )
+    next_acceleration = metric_acceleration(
+        metric, next_position, intermediate_velocity, params, deps=deps)
     next_velocity = velocity + 0.5 * (acceleration + next_acceleration) * ds_
 
     if reparameterisation:
@@ -223,6 +247,22 @@ def verlet_step(metric: Metric, position, velocity, acceleration, ds, params,
         )
     K = jnp.ones(ds.shape, dtype=position.dtype)
     return next_position, next_velocity, next_acceleration, K
+
+
+def initial_next_ds(metric: Metric, features: Features, acc: Array) -> Array:
+    """Seed the adaptive step size from the launch acceleration (the tail
+    of ``geodesic_to_render_ray`` cl.cl:3000-3065).  Component-first batch
+    transparent and Pallas-legal (select4 constants, no captured arrays) so
+    the slim-pack kernel re-derives it at tile load (see
+    TraceOptions.fresh_pack)."""
+    if metric.config.adaptive_precision:
+        w_v = geometry.select4(metric.precision_weights(), acc)
+        _, next_ds = acceleration_to_precision(
+            acc, features.max_acceleration_change, w_v,
+            udiv=float(max(metric.precision_weights())),
+        )
+        return next_ds
+    return jnp.full(acc.shape[1:], 1e-5, dtype=acc.dtype)
 
 
 def init_ray_state(metric: Metric, position: Array, velocity: Array, params,
@@ -240,18 +280,8 @@ def init_ray_state(metric: Metric, position: Array, velocity: Array, params,
             gab = gab[..., None]
         vel = geometry.fix_null_batched(gab, vel)
 
-    acc = geometry.acceleration_batched(metric.fn, pos, vel, params,
-                                         deps=metric.depends_on,
-                                         nz=metric.nonzeros())
-
-    w_v = jnp.array(metric.precision_weights(), dtype=pos.dtype)
-    if metric.config.adaptive_precision:
-        _, next_ds = acceleration_to_precision(
-            acc, features.max_acceleration_change, w_v,
-            udiv=float(max(metric.precision_weights())),
-        )
-    else:
-        next_ds = jnp.full((n,), 1e-5, dtype=pos.dtype)
+    acc = metric_acceleration(metric, pos, vel, params)
+    next_ds = initial_next_ds(metric, features, acc)
 
     return RayState(
         position=pos.T,
@@ -346,9 +376,7 @@ def make_step_fn(metric: Metric, features: Features, opts: TraceOptions,
         if opts.integrator == "euler":
             # step_euler (cl.cl:3352-3377): acceleration at the current
             # event, then a semi-implicit update.
-            lacc = geometry.acceleration_batched(
-                metric.fn, pos, vel, params, deps=deps, nz=metric.nonzeros()
-            )
+            lacc = metric_acceleration(metric, pos, vel, params, deps=deps)
             nvel = vel + lacc * ds[None, :]
             npos = pos + nvel * ds[None, :]
             nacc = lacc

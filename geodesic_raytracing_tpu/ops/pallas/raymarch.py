@@ -81,11 +81,22 @@ def _bucket_partition(dead: Array, cost: Array | None):
     return packing.bucket_sort_perm(bucket, n_buckets)
 
 
+# Row layouts of the single packed operand.  FULL carries the whole
+# RayState; FRESH (TraceOptions.fresh_pack) carries only pos/vel/status —
+# the kernel re-derives acceleration/next_ds at tile load and
+# rdl = 1 / steps = 0 / f_in_x = |v_t| hold by the freshness contract.
+# SLIM output (TraceOptions.slim_out) drops acceleration/next_ds, which
+# no post-trace consumer reads (compute_render_data).
+ROWS_FULL_IN, ROWS_FULL_OUT = 17, 16
+ROWS_FRESH_IN, ROWS_SLIM_OUT = 9, 11
+
+
 def pack_tiles(state: RayState, tile: int,
                sort_key: Array | None = None,
                f_in_x: Array | None = None,
                block_tiles: int = 1,
-               queue_depth: int = 1):
+               queue_depth: int = 1,
+               fresh: bool = False):
     """Bucket-partition + tile-pack a RayState for the kernel.
 
     Pre-trace compaction: dead rays (prepass-killed, refinement-masked)
@@ -120,52 +131,71 @@ def pack_tiles(state: RayState, tile: int,
         dead, None if sort_key is None else sort_key.astype(jnp.float32)
     )
 
-    if f_in_x is None:
-        # Blow-up kill baseline = launch-time |v_t| (cl.cl:3990).  Phased
-        # callers must pass the original value, or re-seeding from the
-        # current (already grown) v_t would defuse the kill test.
-        f_in_x = jnp.abs(state.velocity[:, 0])
+    if fresh:
+        # Freshness contract (TraceOptions.fresh_pack): steps == 0,
+        # rdl == 1, f_in_x == |v_t|, acceleration/next_ds are exactly
+        # init_ray_state's derivations — the kernel recomputes them at
+        # tile load, so the pack gathers 9 rows instead of 17.
+        rows = ROWS_FRESH_IN
+        big = jnp.concatenate([
+            state.position, state.velocity,                          # 0..7
+            state.status.astype(jnp.float32)[:, None],               # 8
+        ], axis=1)[perm]
+        fills = jnp.zeros((rows,), big.dtype)
+        fills = fills.at[8].set(float(integrate.DEAD))
+    else:
+        if f_in_x is None:
+            # Blow-up kill baseline = launch-time |v_t| (cl.cl:3990).
+            # Phased callers must pass the original value, or re-seeding
+            # from the current (already grown) v_t would defuse the kill
+            # test.
+            f_in_x = jnp.abs(state.velocity[:, 0])
 
-    # ONE (N, 16) row gather instead of seven per-array gathers: gathers
-    # cost per row fetched, and the permutation gather was half the pack
-    # cost.  status/steps ride as f32 (exact: small ints).
-    big = jnp.concatenate([
-        state.position, state.velocity, state.acceleration,          # 0..11
-        state.next_ds[:, None],                                      # 12
-        state.running_dlambda_dnew[:, None],                         # 13
-        state.status.astype(jnp.float32)[:, None],                   # 14
-        state.steps.astype(jnp.float32)[:, None],                    # 15
-        f_in_x[:, None],                                             # 16
-    ], axis=1)[perm]
+        # ONE (N, 17) row gather instead of seven per-array gathers:
+        # gathers cost per row fetched, and the permutation gather was half
+        # the pack cost.  status/steps ride as f32 (exact: small ints).
+        rows = ROWS_FULL_IN
+        big = jnp.concatenate([
+            state.position, state.velocity, state.acceleration,      # 0..11
+            state.next_ds[:, None],                                  # 12
+            state.running_dlambda_dnew[:, None],                     # 13
+            state.status.astype(jnp.float32)[:, None],               # 14
+            state.steps.astype(jnp.float32)[:, None],                # 15
+            f_in_x[:, None],                                         # 16
+        ], axis=1)[perm]
+        fills = jnp.zeros((rows,), big.dtype)
+        fills = fills.at[13].set(1.0).at[14].set(float(integrate.DEAD))
 
-    fills = jnp.zeros((17,), big.dtype)
-    fills = fills.at[13].set(1.0).at[14].set(float(integrate.DEAD))
     big = jnp.concatenate([
-        big, jnp.broadcast_to(fills, (n_pad - n, 17))
+        big, jnp.broadcast_to(fills, (n_pad - n, rows))
     ], axis=0)
-    # ONE (n_tiles, 17, 8, lanes) operand: every separate kernel buffer
+    # ONE (n_tiles, rows, 8, lanes) operand: every separate kernel buffer
     # costs a fixed DMA latency per grid step (17 in + 16 out buffers
     # measured ~60-70 us/tile of pure overhead — the reason small tiles
     # lost despite better packing), so the whole ray state rides as a
-    # single block.  Rows: pos 0-3, vel 4-7, acc 8-11, next_ds 12, rdl 13,
-    # status 14, steps 15, f_in_x 16 (small ints exact as f32).
-    packed = big.T.reshape(17, n_tiles, SUBLANES, lanes).transpose(1, 0, 2, 3)
+    # single block.  Full rows: pos 0-3, vel 4-7, acc 8-11, next_ds 12,
+    # rdl 13, status 14, steps 15, f_in_x 16 (small ints exact as f32);
+    # fresh rows: pos 0-3, vel 4-7, status 8.
+    packed = big.T.reshape(rows, n_tiles, SUBLANES, lanes) \
+        .transpose(1, 0, 2, 3)
     if queue_depth > 1:
         # Serpentine: reverse ray order within odd layers of each K-group.
         # A tile's flattened (8, lanes) row-major ray order reverses by
         # flipping BOTH trailing axes.
         g = packed.reshape(n_tiles // queue_depth, queue_depth,
-                           17, SUBLANES, lanes)
+                           rows, SUBLANES, lanes)
         g = g.at[:, 1::2].set(jnp.flip(g[:, 1::2], axis=(-2, -1)))
-        packed = g.reshape(n_tiles, 17, SUBLANES, lanes)
+        packed = g.reshape(n_tiles, rows, SUBLANES, lanes)
     return packed, inv_perm, n
 
 
 def unpack_tiles(outs, inv_perm: Array, n: int,
                  queue_depth: int = 1) -> RayState:
-    """Inverse of :func:`pack_tiles` over the kernel's single (n_tiles, 16,
-    8, lanes) output block — a single (N, 16) row gather, like the pack
-    side."""
+    """Inverse of :func:`pack_tiles` over the kernel's single output block
+    — a single (N, rows) row gather, like the pack side.  The layout is
+    inferred from the row count: 16 = full, 11 = slim (acceleration and
+    next_ds were dropped; they are zero-filled here — no post-trace
+    consumer reads them)."""
     n_tiles, rows, sub, lanes = outs.shape
     if queue_depth > 1:  # undo the serpentine layer flips
         g = outs.reshape(n_tiles // queue_depth, queue_depth,
@@ -175,6 +205,16 @@ def unpack_tiles(outs, inv_perm: Array, n: int,
     n_pad = n_tiles * sub * lanes
     big = outs.transpose(1, 0, 2, 3).reshape(rows, n_pad).T[:n][inv_perm]
 
+    if rows == ROWS_SLIM_OUT:
+        return RayState(
+            position=big[:, 0:4],
+            velocity=big[:, 4:8],
+            acceleration=jnp.zeros_like(big[:, 0:4]),
+            next_ds=jnp.zeros_like(big[:, 8]),
+            running_dlambda_dnew=big[:, 8],
+            status=big[:, 9].astype(jnp.int32),
+            steps=big[:, 10].astype(jnp.int32),
+        )
     return RayState(
         position=big[:, 0:4],
         velocity=big[:, 4:8],
@@ -197,7 +237,14 @@ def launch(metric: Metric, packed, params, features: Features,
     tiles share one grid step — each runs its own while loop (per-tile
     early exit), so the pack granularity drops below the grid-step-overhead
     sweet spot."""
-    n_tiles, _, _, lanes = packed.shape
+    n_tiles, rows_in, _, lanes = packed.shape
+    fresh_in = bool(opts.fresh_pack)
+    slim_out = bool(opts.slim_out)
+    assert (not fresh_in) or slim_out, \
+        "fresh_pack implies slim_out (single-phase traces only)"
+    assert rows_in == (ROWS_FRESH_IN if fresh_in else ROWS_FULL_IN), \
+        (rows_in, fresh_in)
+    rows_out = ROWS_SLIM_OUT if slim_out else ROWS_FULL_OUT
     queue_depth = max(int(opts.queue_depth), 1)
     block_tiles = max(int(opts.block_tiles), 1)
     if queue_depth > 1:
@@ -214,18 +261,67 @@ def launch(metric: Metric, packed, params, features: Features,
         kparams = {k: pvec_ref[i] for i, k in enumerate(pkeys)}
         kfeatures = Features(*(fvec_ref[i] for i in range(len(features))))
 
-        def run_tile(blk):
-            # blk: (17, 8, lanes) — one tile's packed state.
-            st0 = _StateT(
-                position=blk[0:4],
-                velocity=blk[4:8],
-                acceleration=blk[8:12],
-                next_ds=blk[12],
+        def load_state(blk):
+            """One tile's packed block -> (_StateT, f_in_x)."""
+            if fresh_in:
+                # Slim pack: re-derive what the freshness contract makes
+                # redundant (exactly init_ray_state's derivations; costs
+                # ~1 integrator step per ray per launch).
+                pos, vel = blk[0:4], blk[4:8]
+                status = blk[8].astype(jnp.int32)
+                acc = integrate.metric_acceleration(metric, pos, vel,
+                                                    kparams)
+                nds = integrate.initial_next_ds(metric, kfeatures, acc)
+                st = _StateT(
+                    position=pos, velocity=vel, acceleration=acc,
+                    next_ds=nds,
+                    running_dlambda_dnew=jnp.ones_like(nds),
+                    status=status, steps=jnp.zeros_like(status),
+                )
+                return st, jnp.abs(vel[0])
+            st = _StateT(
+                position=blk[0:4], velocity=blk[4:8],
+                acceleration=blk[8:12], next_ds=blk[12],
                 running_dlambda_dnew=blk[13],
                 status=blk[14].astype(jnp.int32),
                 steps=blk[15].astype(jnp.int32),
             )
-            step = integrate.make_step_fn(metric, kfeatures, opts, blk[16])
+            return st, blk[16]
+
+        def emit(st: _StateT):
+            """Final state -> output block rows."""
+            if slim_out:
+                return jnp.concatenate([
+                    st.position, st.velocity,
+                    st.running_dlambda_dnew[None],
+                    st.status.astype(jnp.float32)[None],
+                    st.steps.astype(jnp.float32)[None],
+                ], axis=0)
+            return jnp.concatenate([
+                st.position, st.velocity, st.acceleration,
+                st.next_ds[None], st.running_dlambda_dnew[None],
+                st.status.astype(jnp.float32)[None],
+                st.steps.astype(jnp.float32)[None],
+            ], axis=0)
+
+        def initial_out(k):
+            """Output fill for rays the queue never processes (defensive:
+            the iteration budget provably covers every ray)."""
+            if fresh_in:  # slim out
+                ones = jnp.ones_like(in_ref[k, 8:9])
+                return jnp.concatenate([
+                    in_ref[k, 0:8], ones, in_ref[k, 8:9],
+                    jnp.zeros_like(ones),
+                ], axis=0)
+            if slim_out:
+                return jnp.concatenate(
+                    [in_ref[k, 0:8], in_ref[k, 13:16]], axis=0)
+            return in_ref[k, 0:16]
+
+        def run_tile(blk):
+            # blk: (rows_in, 8, lanes) — one tile's packed state.
+            st0, fx = load_state(blk)
+            step = integrate.make_step_fn(metric, kfeatures, opts, fx)
 
             # The any(active) exit test is a cross-lane reduction; checking
             # it every CHECK_EVERY steps amortises its cost (terminated rays
@@ -252,12 +348,7 @@ def launch(metric: Metric, packed, params, features: Features,
 
             _, fin = jax.lax.while_loop(cond, body, (jnp.int32(0), st0))
 
-            return jnp.concatenate([
-                fin.position, fin.velocity, fin.acceleration,
-                fin.next_ds[None], fin.running_dlambda_dnew[None],
-                fin.status.astype(jnp.float32)[None],
-                fin.steps.astype(jnp.float32)[None],
-            ], axis=0)
+            return emit(fin)
 
         def run_queue():
             """Lane-queue compaction (VERDICT r2 item 1; the reference's
@@ -278,15 +369,7 @@ def launch(metric: Metric, packed, params, features: Features,
             n_outer = K * (-(-opts.max_steps // CHECK_EVERY)) + K
 
             def load(k):
-                blk = in_ref[k]
-                st = _StateT(
-                    position=blk[0:4], velocity=blk[4:8],
-                    acceleration=blk[8:12], next_ds=blk[12],
-                    running_dlambda_dnew=blk[13],
-                    status=blk[14].astype(jnp.int32),
-                    steps=blk[15].astype(jnp.int32),
-                )
-                return st, blk[16]
+                return load_state(in_ref[k])
 
             def sel(mask, new: _StateT, old: _StateT) -> _StateT:
                 m3 = mask[None]
@@ -303,17 +386,9 @@ def launch(metric: Metric, packed, params, features: Features,
                     steps=jnp.where(mask, new.steps, old.steps),
                 )
 
-            def as_block16(st: _StateT):
-                return jnp.concatenate([
-                    st.position, st.velocity, st.acceleration,
-                    st.next_ds[None], st.running_dlambda_dnew[None],
-                    st.status.astype(jnp.float32)[None],
-                    st.steps.astype(jnp.float32)[None],
-                ], axis=0)
-
             # Unprocessed rays (budget exhaustion) keep their input state.
             for k in range(K):
-                out_ref[k] = in_ref[k, 0:16]
+                out_ref[k] = initial_out(k)
 
             st0, fx0 = load(0)
             c0 = jnp.zeros(st0.next_ds.shape, jnp.int32)
@@ -322,7 +397,7 @@ def launch(metric: Metric, packed, params, features: Features,
             def commit_advance(c, s_at, fx, st):
                 over = (st.steps - s_at) >= opts.max_steps
                 fin = ((st.status != integrate.ACTIVE) | over) & (c < K)
-                blk16 = as_block16(st)
+                blk16 = emit(st)
                 for k in range(K):
                     mk = fin & (c == k)
                     out_ref[k] = jnp.where(mk[None], blk16, out_ref[k])
@@ -358,7 +433,7 @@ def launch(metric: Metric, packed, params, features: Features,
 
             # Budget-cap exit: lanes still mid-ray commit as-is (ACTIVE),
             # matching the non-queue loop-cap semantics.
-            blk16 = as_block16(st)
+            blk16 = emit(st)
             for k in range(K):
                 mk = c == k
                 out_ref[k] = jnp.where(mk[None], blk16, out_ref[k])
@@ -383,14 +458,14 @@ def launch(metric: Metric, packed, params, features: Features,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params vector
             pl.BlockSpec(memory_space=pltpu.SMEM),  # features vector
-            pl.BlockSpec((block_tiles, 17, SUBLANES, lanes),
+            pl.BlockSpec((block_tiles, rows_in, SUBLANES, lanes),
                          lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_tiles, 16, SUBLANES, lanes),
+        out_specs=pl.BlockSpec((block_tiles, rows_out, SUBLANES, lanes),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 16, SUBLANES, lanes),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, rows_out, SUBLANES, lanes),
                                        packed.dtype),
         interpret=interpret,
     )(pvec, fvec, packed)
@@ -414,7 +489,8 @@ def trace_rays_pallas(metric: Metric, state: RayState, params,
     """
     packed, inv_perm, n = pack_tiles(state, tile, sort_key, f_in_x,
                                      block_tiles=max(opts.block_tiles, 1),
-                                     queue_depth=max(opts.queue_depth, 1))
+                                     queue_depth=max(opts.queue_depth, 1),
+                                     fresh=bool(opts.fresh_pack))
     outs = launch(metric, packed, params, features, opts, interpret=interpret)
     return unpack_tiles(outs, inv_perm, n,
                         queue_depth=max(opts.queue_depth, 1))

@@ -178,7 +178,11 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
         k = max(min(nqb, 1024), (int(nqb * frac) // 8) * 8)
     band_settings = _dc.replace(settings, height=2 * Hb)
     planar = pipeline._planar_enabled(metric, settings)
-    opts = _dc.replace(settings.trace, planar=planar, compaction=())
+    # Band traces get fresh states straight from _init_rays -> slim pack
+    # (see TraceOptions.fresh_pack; pallas only).
+    slim = settings.trace.method == "pallas"
+    opts = _dc.replace(settings.trace, planar=planar, compaction=(),
+                       fresh_pack=slim, slim_out=slim)
 
     # --- global prepass (1/256 of the frame's rays), run once outside the
     # band programs; the P(axis) in_specs scatter its maps into bands,

@@ -536,16 +536,26 @@ def _traced_rdata_for_pixels(metric: Metric, camera: cam.Camera, params,
 def _trace_phases(metric: Metric, state, params, settings: RenderSettings,
                   features: Features, cost: Array | None, f_in_x: Array):
     """Host-chained trace phases (one Pallas program each — see
-    :func:`_traced_rdata_for_pixels` for why they stay separate)."""
+    :func:`_traced_rdata_for_pixels` for why they stay separate).
+
+    Every pipeline caller passes a FRESH state (straight from _init_rays),
+    so a single-phase pallas trace uses the slim pack (9-row gather in,
+    11-row out; TraceOptions.fresh_pack/slim_out) — the full 17/16-row
+    pack/unpack glue was ~23 ms of the 120 ms production frame.  Chained
+    phases carry mid-trace state and keep the full layout except for the
+    final phase's slim output."""
     opts = settings.trace
     planar = _planar_enabled(metric, settings)
     phases = tuple(opts.compaction) + (opts.max_steps,)
     if opts.method != "pallas":
         phases = (opts.max_steps,)  # XLA paths handle divergence globally
-    for phase_steps in phases:
+    for i, phase_steps in enumerate(phases):
+        last = i == len(phases) - 1
         popts = dataclasses.replace(
             opts, max_steps=min(phase_steps, opts.max_steps), compaction=(),
             planar=planar,
+            fresh_pack=(i == 0 and last and opts.method == "pallas"),
+            slim_out=(last and opts.method == "pallas"),
         )
         psettings = dataclasses.replace(settings, trace=popts)
         state = _trace_phase_jit(metric, state, params, psettings, features,

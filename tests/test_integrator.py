@@ -367,3 +367,38 @@ def test_weak_field_deflection_angle():
         expected = 2.0 / b + (15.0 * np.pi / 16.0) / b ** 2
         np.testing.assert_allclose(measured, expected, rtol=0.04,
                                    err_msg=f"b={b}")
+
+
+@pytest.mark.parametrize("qd", [1, 4])
+def test_pallas_slim_pack_matches_full(qd):
+    """TraceOptions.fresh_pack/slim_out (9-row in / 11-row out pack for
+    fresh states): fates, step counts and rdl match the full 17/16-row
+    layout exactly; positions agree to fp tolerance (the in-kernel
+    re-derived launch acceleration may differ by ulps, which chaotic
+    photon-ring rays amplify — but never enough to change a fate)."""
+    import dataclasses
+
+    m = metrics.get_metric("kerr_boyer")
+    params = m.params()
+    pos, vel = make_rays(64)
+    feats = Features.for_metric(m)
+    st = init_ray_state(m, pos, vel, params, feats)
+    st = st._replace(status=st.status.at[::5].set(2))  # prepass kills
+    key = jnp.abs(st.velocity[:, 0])
+    fx = jnp.abs(st.velocity[:, 0])
+    base = TraceOptions(max_steps=2048, queue_depth=qd, check_every=8)
+    slim = dataclasses.replace(base, fresh_pack=True, slim_out=True)
+    a = trace_rays_pallas(m, st, params, features=feats, opts=base,
+                          tile=16, interpret=True, sort_key=key, f_in_x=fx)
+    b = trace_rays_pallas(m, st, params, features=feats, opts=slim,
+                          tile=16, interpret=True, sort_key=key, f_in_x=fx)
+    np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
+    np.testing.assert_array_equal(np.asarray(a.steps), np.asarray(b.steps))
+    np.testing.assert_array_equal(
+        np.asarray(a.running_dlambda_dnew), np.asarray(b.running_dlambda_dnew)
+    )
+    ok = np.asarray(a.status) == ESCAPED
+    np.testing.assert_allclose(
+        np.asarray(a.position)[ok], np.asarray(b.position)[ok],
+        rtol=1e-3, atol=5e-3,
+    )

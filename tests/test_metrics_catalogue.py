@@ -172,3 +172,75 @@ def test_depends_on_claims(name):
                 f"{name} varies with coordinate {c} but depends_on="
                 f"{m.depends_on}"
             )
+
+
+def test_rank1_decomposition_matches_fn():
+    """Metric.rank1 (Kerr-Schild fast path): fn == minkowski_plus(f, l),
+    l is eta-null, and the Sherman-Morrison acceleration matches the dense
+    path (VERDICT r3 item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geodesic_raytracing_tpu.metrics.base import minkowski_plus
+    from geodesic_raytracing_tpu.ops import geometry
+
+    rng = np.random.default_rng(7)
+    for name in ("kerr_schild", "kerr_newman_schild"):
+        m = get_metric(name)
+        assert m.rank1 is not None
+        params = m.params()
+        n = 64
+        x = jnp.asarray(
+            rng.uniform(-8, 8, size=(4, n)).astype(np.float32))
+        # keep away from the ring singularity
+        r2 = x[1] ** 2 + x[2] ** 2 + x[3] ** 2
+        x = x.at[1].set(jnp.where(r2 < 4.0, x[1] + 4.0, x[1]))
+        v = jnp.asarray(
+            rng.uniform(-1, 1, size=(4, n)).astype(np.float32))
+
+        f, lv = m.rank1(x, params)
+        g_dec = minkowski_plus(f, lv)
+        g_fn = m.fn(x, params)
+        np.testing.assert_allclose(np.asarray(g_dec), np.asarray(g_fn),
+                                   rtol=1e-6, atol=1e-6)
+        # eta-nullness of l (the Sherman-Morrison denominator assumption)
+        eta_ll = -lv[0] ** 2 + lv[1] ** 2 + lv[2] ** 2 + lv[3] ** 2
+        np.testing.assert_allclose(np.asarray(eta_ll), 0.0, atol=2e-5)
+
+        a_fast = geometry.acceleration_batched_rank1(m.rank1, x, v, params)
+        a_dense = geometry.acceleration_batched(
+            m.fn, x, v, params, deps=m.depends_on, nz=m.nonzeros())
+        af, ad = np.asarray(a_fast), np.asarray(a_dense)
+        scale = np.maximum(np.abs(ad).max(axis=0), 1e-3)
+        np.testing.assert_allclose(af / scale, ad / scale, atol=2e-3,
+                                   err_msg=name)
+
+
+def test_rank1_render_matches_dense(tmp_path):
+    """End-to-end: a small kerr_schild frame with the rank-1 fast path
+    matches a dense-path render (fates exact, image close)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from geodesic_raytracing_tpu.camera import Camera
+    from geodesic_raytracing_tpu.ops.integrate import Features, TraceOptions
+    from geodesic_raytracing_tpu.render import background as bg
+    from geodesic_raytracing_tpu.render.pipeline import (RenderSettings,
+                                                         render_frame)
+
+    m = get_metric("kerr_schild")
+    dense = dataclasses.replace(m, name="kerr_schild_dense", rank1=None)
+    cam = Camera.default().rotate(pitch=-np.pi / 2)
+    settings = RenderSettings(width=48, height=48, anisotropy=1,
+                              adaptive_sampling=False,
+                              trace=TraceOptions(max_steps=3000))
+    backgrounds = bg.checker_background()
+    imgs = {}
+    for mm in (m, dense):
+        params = mm.params()
+        imgs[mm.name] = np.asarray(render_frame(
+            mm, cam, params, backgrounds, settings, Features.for_metric(mm)))
+    d = np.abs(imgs["kerr_schild"] - imgs["kerr_schild_dense"])
+    # chaotic shadow-edge pixels may flip; the bulk must agree
+    assert (d > 0.1).mean() < 0.02, (d > 0.1).mean()
