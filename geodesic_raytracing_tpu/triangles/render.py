@@ -390,18 +390,381 @@ def intersect_scene_binned(metric: Metric, path: Array,
     return jnp.isfinite(best_key[:n]), colour[:n]
 
 
+class Patches(NamedTuple):
+    """Static local-frame triangle patches, one set per object
+    (:func:`build_patches`).  Objects are rigid in their own tetrad frame,
+    so this acceleration structure is built ONCE per scene on the host —
+    pruning power the reference's object-blind chunk lists cannot have
+    (its per-triangle swept AABBs are all sweep-sized, cl.cl:4490-4571)."""
+
+    v0: Array      # (O, P, ps, 3) local-frame vertices, padded
+    v1: Array
+    v2: Array
+    normal: Array  # (O, P, ps, 3) unit normals
+    valid: Array   # (O, P, ps) real-triangle mask
+    lo: Array      # (O, P, 3) patch AABB min (local frame)
+    hi: Array      # (O, P, 3)
+
+
+def build_patches(scene: TriangleScene, n_objects: int,
+                  patch_size: int = 32) -> Patches:
+    """Group each object's triangles into spatially-coherent fixed-size
+    patches (recursive median split along the widest centroid axis), with
+    local-frame AABBs.  Host-side numpy; runs once per scene."""
+    v0s, v1s, v2s = (np.asarray(scene.v0), np.asarray(scene.v1),
+                     np.asarray(scene.v2))
+    parent = np.asarray(scene.parent)
+
+    def kd_order(cent):
+        """Return an ordering grouping nearby centroids into contiguous
+        runs of patch_size."""
+        idx = np.arange(cent.shape[0])
+
+        def split(ids):
+            if ids.size <= patch_size:
+                return [ids]
+            c = cent[ids]
+            axis = int(np.argmax(c.max(0) - c.min(0)))
+            order = ids[np.argsort(c[:, axis], kind="stable")]
+            half = (ids.size // 2 // patch_size) * patch_size
+            half = max(half, patch_size)
+            return split(order[:half]) + split(order[half:])
+
+        return np.concatenate(split(idx))
+
+    per_obj = []
+    for oi in range(n_objects):
+        m = parent == oi
+        a, b, c = v0s[m], v1s[m], v2s[m]
+        T = a.shape[0]
+        if T == 0:
+            a = b = c = np.zeros((1, 3), np.float32)
+            T = 1
+        order = kd_order((a + b + c) / 3.0)
+        a, b, c = a[order], b[order], c[order]
+        pad = -T % patch_size
+        va = np.ones(T + pad, bool)
+        va[T:] = False
+        if pad:
+            filler = np.repeat(a[-1:], pad, axis=0)
+            a = np.concatenate([a, filler])
+            b = np.concatenate([b, filler])
+            c = np.concatenate([c, filler])
+        P = a.shape[0] // patch_size
+        a = a.reshape(P, patch_size, 3)
+        b = b.reshape(P, patch_size, 3)
+        c = c.reshape(P, patch_size, 3)
+        va = va.reshape(P, patch_size)
+        n = np.cross(b - a, c - a)
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        allv = np.stack([a, b, c], axis=2)  # (P, ps, 3, 3)
+        lo = np.where(va[..., None], allv.min(2), np.inf).min(1)
+        hi = np.where(va[..., None], allv.max(2), -np.inf).max(1)
+        lo = np.where(np.isfinite(lo), lo, 0.0)
+        hi = np.where(np.isfinite(hi), hi, 0.0)
+        per_obj.append((a, b, c, n, va, lo, hi))
+
+    Pmax = max(p[0].shape[0] for p in per_obj)
+
+    def padP(x, fill=0.0):
+        pad = Pmax - x.shape[0]
+        if pad == 0:
+            return x
+        return np.concatenate(
+            [x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+    return Patches(
+        v0=jnp.asarray(np.stack([padP(p[0]) for p in per_obj])),
+        v1=jnp.asarray(np.stack([padP(p[1]) for p in per_obj])),
+        v2=jnp.asarray(np.stack([padP(p[2]) for p in per_obj])),
+        normal=jnp.asarray(np.stack([padP(p[3]) for p in per_obj])),
+        valid=jnp.asarray(np.stack([padP(p[4], False) for p in per_obj])),
+        lo=jnp.asarray(np.stack([padP(p[5]) for p in per_obj])),
+        hi=jnp.asarray(np.stack([padP(p[6]) for p in per_obj])),
+    )
+
+
+class SweptObjects(NamedTuple):
+    """One entry per (object x geodesic segment): the object's WHOLE swept
+    4D AABB plus the frame data of its bounding nodes.  ~objects x segments
+    entries (vs triangles x segments for :class:`SweptTriangles`)."""
+
+    lo: Array   # (Mo, 4)
+    hi: Array   # (Mo, 4)
+    p1: Array   # (Mo, 4)
+    p2: Array   # (Mo, 4)
+    ier: Array  # (Mo, 4, 4)
+    ien: Array  # (Mo, 4, 4)
+    obj: Array  # (Mo,) int32 object index
+    radius: Array  # (Mo,) local bounding radius
+
+
+def build_swept_objects(scene: TriangleScene, geos: list["ObjectGeodesic"],
+                        pad: float = 0.0) -> SweptObjects:
+    """Sweep each object's local bounding box (8 corners) along its
+    geodesic segments — the object-level analogue of
+    :func:`build_swept_triangles`."""
+    parts = []
+    parent = np.asarray(scene.parent)
+    for oi, geo in enumerate(geos):
+        m = parent == oi
+        if not m.any():
+            continue
+        verts = np.concatenate([np.asarray(scene.v0[m]),
+                                np.asarray(scene.v1[m]),
+                                np.asarray(scene.v2[m])])
+        blo, bhi = verts.min(0), verts.max(0)
+        radius = float(np.linalg.norm(np.maximum(np.abs(blo), np.abs(bhi))))
+        corners = np.array([[blo[0], blo[1], blo[2]],
+                            [blo[0], blo[1], bhi[2]],
+                            [blo[0], bhi[1], blo[2]],
+                            [blo[0], bhi[1], bhi[2]],
+                            [bhi[0], blo[1], blo[2]],
+                            [bhi[0], blo[1], bhi[2]],
+                            [bhi[0], bhi[1], blo[2]],
+                            [bhi[0], bhi[1], bhi[2]]], np.float32)
+        local4 = jnp.concatenate(
+            [jnp.zeros((8, 1), jnp.float32), jnp.asarray(corners)], axis=-1)
+        p = geo.positions   # (K, 4)
+        es = geo.tetrads    # (K, 4, 4)
+        offs = jnp.einsum("ca,kam->kcm", local4, es)  # (K, 8, 4)
+        world = p[:, None, :] + offs
+        both = jnp.concatenate([world[:-1], world[1:]], axis=1)  # (K-1,16,4)
+        lo = jnp.min(both, axis=1) - pad
+        hi = jnp.max(both, axis=1) + pad
+        K = p.shape[0]
+        parts.append(SweptObjects(
+            lo=lo, hi=hi, p1=p[:-1], p2=p[1:],
+            ier=geo.inv_tetrads[:-1], ien=geo.inv_tetrads[1:],
+            obj=jnp.full((K - 1,), oi, jnp.int32),
+            radius=jnp.full((K - 1,), radius, jnp.float32),
+        ))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+
+
+def _object_local_ray(ga, gb, p1, p2, ie_r, ie_n, periods):
+    """Object-LEVEL toblerone fixed point: like :func:`_toblerone_hit`'s
+    iteration but converging on the ray's closest approach to the object's
+    local origin instead of a particular triangle's plane — solved ONCE per
+    (ray segment x object segment), after which the ray is STRAIGHT in the
+    local frame and any number of triangles test with plain
+    Moller-Trumbore.  Returns (pos, dirv, o_start, o_end)."""
+    ray_vel = gb - ga
+    initial_diff = periodic_diff(ga, p1, periods)
+
+    def body(carry, _):
+        next_frac, _, _, _, _ = carry
+        frac = jnp.clip(next_frac, 0.0, 1.0)
+        ie = ie_r + frac * (ie_n - ie_r)
+        obj_pos = p1 + frac * (p2 - p1)
+        diff = initial_diff + p1 - obj_pos
+        pos = ie @ diff
+        dirv = ie @ ray_vel
+        d2 = jnp.sum(dirv[1:] * dirv[1:])
+        t_ca = -jnp.sum(pos[1:] * dirv[1:]) / jnp.maximum(d2, 1e-12)
+        t_ca = jnp.clip(t_ca, 0.0, 1.0)
+        ipt0 = pos[0] + dirv[0] * t_ca
+        o_start = (ie @ (p1 - obj_pos))[0]
+        o_end = (ie @ (p2 - obj_pos))[0]
+        denom = jnp.where(jnp.abs(o_end - o_start) < 1e-12, 1.0,
+                          o_end - o_start)
+        nf = (ipt0 - o_start) / denom
+        return (nf, pos, dirv, o_start, o_end), None
+
+    init = (jnp.asarray(0.0, ga.dtype), jnp.zeros(4, ga.dtype),
+            jnp.zeros(4, ga.dtype), jnp.asarray(0.0, ga.dtype),
+            jnp.asarray(0.0, ga.dtype))
+    (_, pos, dirv, o_start, o_end), _ = jax.lax.scan(body, init, None,
+                                                     length=8)
+    return pos, dirv, o_start, o_end
+
+
+def _ray_aabb(o, d, lo, hi):
+    """Slab test of the [0, 1] ray segment o + t d against AABBs.
+    ``lo/hi``: (..., 3) broadcastable against o/d.  Returns (hit, tmin)."""
+    safe = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+    inv = 1.0 / safe
+    t1 = (lo - o) * inv
+    t2 = (hi - o) * inv
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    # d ~ 0 on an axis: inside-the-slab check via the shared interval is
+    # approximated by the huge +-t1/t2 values of the clamped inverse.
+    hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= 1.0)
+    return hit, tmin
+
+
+def intersect_scene_grouped(metric: Metric, path: Array,
+                            scene: TriangleScene,
+                            geos: list["ObjectGeodesic"], params,
+                            block: int = 256, obj_budget: int = 8,
+                            chunk_budget: int | None = None,
+                            patch_budget: int = 8, patch_size: int = 32,
+                            pad: float = 0.0, with_stats: bool = False):
+    """Two-level intersector for DENSE scenes (VERDICT r3 item 4).
+
+    The flat binned intersector drops most real hits on orbital scenes:
+    every triangle of an object sweeps nearly the same spatial tube, so a
+    chunk near the orbit overlaps ~all of the object's per-triangle swept
+    AABBs (round-3 bench: worst chunk 57,900 entries vs budgets of 64-128)
+    and the per-chunk budget is object-blind.  Here the budgeted global
+    binning happens at OBJECT-segment granularity (~objects x segments
+    entries — a chunk can afford them ALL), and per-triangle pruning moves
+    into the object's LOCAL frame where the ray is straight and the
+    triangles are static: one object-level toblerone fixed point per
+    (ray x object segment), then patch-AABB slab tests over the
+    :func:`build_patches` structure, then Moller-Trumbore on the
+    ``patch_budget x patch_size`` surviving triangles.  The reference
+    cannot prune this way — its chunk lists are object-blind
+    (cl.cl:4490-4571) and sized through the problem with 800 MB buffers
+    (render_state.hpp:64-91).
+
+    ``chunk_budget``: ray blocks processed per segment (top-k by candidate
+    count; None = all).  ``with_stats`` reports dropped object-segment
+    candidates / dropped chunks so budget overflow is observable.
+    """
+    periods = metric.periods(params)
+    n_obj = len(geos)
+    patches = build_patches(scene, n_obj, patch_size=patch_size)
+    swept = build_swept_objects(scene, geos, pad=pad)
+    Mo = swept.lo.shape[0]
+    OB = min(obj_budget, Mo)
+    PB = min(patch_budget, patches.lo.shape[1])
+
+    S = path.shape[0] - 1
+    n = path.shape[1]
+    nb = -(-n // block)
+    n_pad = nb * block
+    CB = nb if chunk_budget is None else min(chunk_budget, nb)
+
+    def pad_rays(x):
+        fill = jnp.broadcast_to(x[-1:], (n_pad - n, 4))
+        return jnp.concatenate([x, fill]).reshape(nb, block, 4)
+
+    best_key = jnp.full((n_pad,), jnp.inf)
+    colour = jnp.zeros((n_pad, 3))
+    dropped_cand = jnp.zeros((), jnp.int32)
+    dropped_chunks = jnp.zeros((), jnp.int32)
+    max_overlap = jnp.zeros((), jnp.int32)
+
+    for s in range(S):
+        ga = pad_rays(path[s])
+        gb = pad_rays(path[s + 1])
+        seg = jnp.concatenate([ga, gb], axis=1)
+        lo_c = jnp.min(seg, axis=1)
+        hi_c = jnp.max(seg, axis=1)
+
+        ov = _periodic_aabb_overlap(
+            lo_c[:, None, :], hi_c[:, None, :],
+            swept.lo[None], swept.hi[None], periods,
+        )  # (NB, Mo)
+        cnt = ov.sum(axis=1, dtype=jnp.int32)
+        if with_stats:
+            dropped_cand = dropped_cand + jnp.maximum(cnt - OB, 0).sum()
+            max_overlap = jnp.maximum(max_overlap, cnt.max())
+
+        # Chunk compaction: only blocks overlapping anything run the solve.
+        _, chunk_sel = jax.lax.top_k(cnt, CB)  # (CB,)
+        chunk_live = cnt[chunk_sel] > 0
+        if with_stats and CB < nb:
+            nz = (cnt > 0).sum()
+            dropped_chunks = dropped_chunks + jnp.maximum(nz - CB, 0)
+
+        vals, cand = jax.lax.top_k(
+            ov[chunk_sel].astype(jnp.float32), OB)  # (CB, OB)
+        cand_valid = (vals > 0.0) & chunk_live[:, None]
+
+        ga_s, gb_s = ga[chunk_sel], gb[chunk_sel]  # (CB, block, 4)
+        co = jax.tree.map(lambda x: x[cand], swept)  # (CB, OB, ...)
+
+        # Per candidate j (python loop: keeps intermediates at
+        # (CB*block, P/patch) scale instead of one OB-times-larger vmap).
+        t_all = []
+        n_all = []
+        for j in range(OB):
+            p1j, p2j = co.p1[:, j], co.p2[:, j]          # (CB, 4)
+            ierj, ienj = co.ier[:, j], co.ien[:, j]      # (CB, 4, 4)
+            objj = co.obj[:, j]                          # (CB,)
+
+            def per_ray(a, b, p1k, p2k, ierk, ienk, obj_id):
+                pos, dirv, o_start, o_end = _object_local_ray(
+                    a, b, p1k, p2k, ierk, ienk, periods)
+                o3, d3 = pos[1:], dirv[1:]
+                # Patch culling in the static local frame.
+                phit, ptmin = _ray_aabb(o3[None, :], d3[None, :],
+                                        patches.lo[obj_id],
+                                        patches.hi[obj_id])  # (P,)
+                score = jnp.where(phit, -ptmin, -jnp.inf)
+                _, pidx = jax.lax.top_k(score, PB)
+                pvalid = jnp.take_along_axis(
+                    phit, pidx, axis=0)  # (PB,)
+                tv0 = patches.v0[obj_id][pidx].reshape(-1, 3)
+                tv1 = patches.v1[obj_id][pidx].reshape(-1, 3)
+                tv2 = patches.v2[obj_id][pidx].reshape(-1, 3)
+                tnm = patches.normal[obj_id][pidx].reshape(-1, 3)
+                tva = (patches.valid[obj_id][pidx]
+                       & pvalid[:, None]).reshape(-1)
+                hit, t = _moller_trumbore(o3[None, :], d3[None, :],
+                                          tv0, tv1, tv2)  # (PB*ps,)
+                end_t = pos[0] + dirv[0] * t
+                hit = (hit & tva
+                       & (end_t >= jnp.minimum(o_start, o_end))
+                       & (end_t <= jnp.maximum(o_start, o_end))
+                       & (t >= 0) & (t <= 1))
+                t = jnp.where(hit, t, jnp.inf)
+                arg = jnp.argmin(t)
+                return t[arg], tnm[arg]
+
+            def per_block(a_blk, b_blk, p1k, p2k, ierk, ienk, obj_id, ok):
+                t, nm = jax.vmap(
+                    lambda a, b: per_ray(a, b, p1k, p2k, ierk, ienk,
+                                         obj_id))(a_blk, b_blk)
+                return jnp.where(ok, t, jnp.inf), nm
+
+            tj, nj = jax.vmap(per_block)(
+                ga_s, gb_s, p1j, p2j, ierj, ienj, objj, cand_valid[:, j])
+            t_all.append(tj)     # (CB, block)
+            n_all.append(nj)     # (CB, block, 3)
+
+        t_stack = jnp.stack(t_all)            # (OB, CB, block)
+        n_stack = jnp.stack(n_all)            # (OB, CB, block, 3)
+        jbest = jnp.argmin(t_stack, axis=0)   # (CB, block)
+        t_best = jnp.min(t_stack, axis=0)
+        nrm = jnp.take_along_axis(
+            n_stack, jbest[None, ..., None], axis=0)[0]  # (CB, block, 3)
+
+        flat_idx = (chunk_sel[:, None] * block
+                    + jnp.arange(block)[None, :]).reshape(-1)
+        t_flat = t_best.reshape(-1)
+        col = jnp.abs(nrm.reshape(-1, 3))
+        key = s + jnp.clip(t_flat, 0.0, 1.0)
+        cur = best_key[flat_idx]
+        better = jnp.isfinite(t_flat) & (key < cur)
+        best_key = best_key.at[flat_idx].set(jnp.where(better, key, cur))
+        curc = colour[flat_idx]
+        colour = colour.at[flat_idx].set(
+            jnp.where(better[:, None], col, curc))
+
+    if with_stats:
+        return jnp.isfinite(best_key[:n]), colour[:n], {
+            "dropped": dropped_cand, "dropped_chunks": dropped_chunks,
+            "max_overlap": max_overlap}
+    return jnp.isfinite(best_key[:n]), colour[:n]
+
+
 def render_triangles(metric: Metric, state: RayState, params,
                      scene: TriangleScene, geos: list[ObjectGeodesic],
                      features: Features | None = None,
                      opts: TraceOptions = TraceOptions(),
                      n_slots: int = 64, steps_per_slot: int = 8,
                      binned: bool = False, block: int = 256,
-                     budget: int = 64):
+                     budget: int = 64, grouped: bool = False):
     """Trace rays with path recording, then intersect the scene.
 
     ``binned`` switches to the AABB-binned intersector (the reference's
-    chunked path; right for large scenes).  Returns ``(final RayState,
-    hit (N,), colour (N, 3))``.
+    chunked path); ``grouped`` to the two-level object/patch intersector
+    (dense orbital scenes — see :func:`intersect_scene_grouped`).  Returns
+    ``(final RayState, hit (N,), colour (N, 3))``.
 
     Slot granularity matters: the toblerone solve interpolates the ray
     linearly within a recorded segment, so a segment must not span a
@@ -419,7 +782,11 @@ def render_triangles(metric: Metric, state: RayState, params,
         metric, state, params, features=features, opts=opts,
         n_slots=n_slots, steps_per_slot=steps_per_slot,
     )
-    if binned:
+    if grouped:
+        hit, colour = intersect_scene_grouped(metric, path, scene, geos,
+                                              params, block=block,
+                                              obj_budget=budget)
+    elif binned:
         hit, colour = intersect_scene_binned(metric, path, scene, geos,
                                              params, block=block,
                                              budget=budget)
