@@ -109,6 +109,124 @@ def sharded_render_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
     return pipeline.shade(rdata, backgrounds, settings)
 
 
+def _adaptive_band_stages(metric: Metric, settings, features, Hb: int,
+                          Wh: int, k: int, band_settings, opts):
+    """Band-local stage functions for the production adaptive pipeline.
+
+    Each stage covers one horizontal band of ``Hb`` quarter rows starting at
+    quarter row ``row0`` (the leading argument).  ``sharded_adaptive_frame``
+    wires ``row0 = axis_index * Hb`` inside ``shard_map``;
+    ``banded_adaptive_frame`` passes it explicitly to run the SAME programs
+    sequentially on one device — keeping the two paths behaviourally
+    identical by construction.
+    """
+
+    def band_coords(row0):
+        yy = 2.0 * (row0 + jnp.arange(Hb, dtype=jnp.int32)).astype(
+            jnp.float32)
+        qcy = jnp.repeat(yy, Wh)
+        qcx = jnp.tile(2.0 * jnp.arange(Wh, dtype=jnp.float32), Hb)
+        return qcx, qcy
+
+    def quarter_stage(row0, camera, params, kill, qcost):
+        qcx, qcy = band_coords(row0)
+        state, ku, iquat = pipeline._init_rays(
+            metric, camera, params, settings, features, qcx, qcy, kill)
+        f_in_x = jnp.abs(state.velocity[:, 0])
+        qfin = integrate.trace_rays(metric, state, params, features=features,
+                                    opts=opts, sort_key=qcost, f_in_x=f_in_x)
+        qr = pipeline.compute_render_data(metric, qfin, ku, params, features,
+                                          inv_quat=iquat)
+        qg = pipeline.RenderData(
+            *(f.reshape((Hb, Wh) + f.shape[1:]) for f in qr))
+        # Refine packing key: quarter-neighbour max of measured step counts
+        # (pipeline._refine_setup_jit's in-frame estimate).
+        qsteps = qg.steps
+        qcost_exact = jnp.maximum(
+            jnp.maximum(qsteps, jnp.roll(qsteps, -1, axis=1)),
+            jnp.maximum(jnp.roll(qsteps, -1, axis=0),
+                        jnp.roll(qsteps, (-1, -1), axis=(0, 1))),
+        ).astype(jnp.float32).reshape(-1)
+        return qr, qcost_exact
+
+    def refine_stage(row0, camera, params, qr, qcost_exact):
+        qcx, qcy = band_coords(row0)
+        qg = pipeline.RenderData(
+            *(f.reshape((Hb, Wh) + f.shape[1:]) for f in qr))
+        should, sel, dest = pipeline._select_refine_blocks(qg, settings, k)
+        sflat = should.reshape(-1)[sel]
+        scx, scy = qcx[sel], qcy[sel]
+        rcx = jnp.concatenate(
+            [scx + ox for ox, oy in pipeline._REFINE_OFFSETS])
+        rcy = jnp.concatenate(
+            [scy + oy for ox, oy in pipeline._REFINE_OFFSETS])
+        rkill = ~jnp.concatenate([sflat] * 3)
+        rcost = jnp.concatenate([qcost_exact[sel]] * 3)
+        rstate, rku, riquat = pipeline._init_rays(
+            metric, camera, params, settings, features, rcx, rcy, rkill)
+        rf_in_x = jnp.abs(rstate.velocity[:, 0])
+        rfin = integrate.trace_rays(metric, rstate, params, features=features,
+                                    opts=opts, sort_key=rcost,
+                                    f_in_x=rf_in_x)
+        return rfin, rku, riquat, should, sel, dest
+
+    def finish_stage(params, rfin, rku, riquat, qr, should, sel, dest,
+                     backgrounds):
+        img, _ = pipeline._finish_shade_jit(
+            metric, rfin, rku, riquat, params, features, qr, should, sel,
+            dest, backgrounds, band_settings, k)
+        return img
+
+    return quarter_stage, refine_stage, finish_stage
+
+
+def _band_setup(metric: Metric, camera: cam.Camera, params, settings,
+                features, n_bands: int):
+    """Shared per-frame setup for the band-decomposed adaptive pipeline:
+    band geometry, per-band refine budget, slim trace options, and the
+    once-per-frame global prepass maps (or flat defaults)."""
+    import dataclasses as _dc
+
+    W, H = settings.width, settings.height
+    Wh, Hh = W // 2, H // 2
+    assert Hh % n_bands == 0, (
+        f"quarter rows ({Hh}) must divide the band count ({n_bands})"
+    )
+    Hb = Hh // n_bands
+    nqb = Wh * Hb
+    frac = settings.refine_budget
+    if frac >= 1.0:
+        k = nqb
+    else:
+        k = max(min(nqb, 1024), (int(nqb * frac) // 8) * 8)
+    band_settings = _dc.replace(settings, height=2 * Hb)
+    planar = pipeline._planar_enabled(metric, settings)
+    # Band traces get fresh states straight from _init_rays -> slim pack
+    # (see TraceOptions.fresh_pack; pallas only).
+    slim = settings.trace.method == "pallas"
+    opts = _dc.replace(settings.trace, planar=planar, compaction=(),
+                       fresh_pack=slim, slim_out=slim)
+
+    # Global prepass (1/256 of the frame's rays), run once per frame; its
+    # kill/cost maps are split into per-band quarter rows by the caller.
+    kill_full = cost_full = None
+    if metric.config.use_prepass:
+        pw = max(W // settings.prepass_scale, 4)
+        ph = max(H // settings.prepass_scale, 4)
+        psettings = _dc.replace(settings, width=pw, height=ph,
+                                adaptive_sampling=False)
+        dead, psteps = pipeline._prepass_dead_map(
+            metric, camera, params, psettings, features)
+        # (Hh*Wh,) row-major: splitting on axis 0 yields exactly the
+        # per-band quarter rows.
+        kill_full = pipeline._prepass_kill(dead, W, H, Wh, Hh)
+        cost_full = pipeline._prepass_cost(psteps, W, H, Wh, Hh)
+    if kill_full is None:
+        kill_full = jnp.zeros((Hh * Wh,), bool)
+        cost_full = jnp.zeros((Hh * Wh,), jnp.float32)
+    return Wh, Hb, k, band_settings, opts, kill_full, cost_full
+
+
 def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
                            params, backgrounds: bg.Background,
                            settings: pipeline.RenderSettings,
@@ -160,102 +278,22 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
     """
     if features is None:
         features = Features.for_metric(metric)
-    import dataclasses as _dc
-
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    W, H = settings.width, settings.height
-    Wh, Hh = W // 2, H // 2
-    assert Hh % n_dev == 0, (
-        f"quarter rows ({Hh}) must divide the mesh ({n_dev} devices)"
-    )
-    Hb = Hh // n_dev
-    nqb = Wh * Hb
-    frac = settings.refine_budget
-    if frac >= 1.0:
-        k = nqb
-    else:
-        k = max(min(nqb, 1024), (int(nqb * frac) // 8) * 8)
-    band_settings = _dc.replace(settings, height=2 * Hb)
-    planar = pipeline._planar_enabled(metric, settings)
-    # Band traces get fresh states straight from _init_rays -> slim pack
-    # (see TraceOptions.fresh_pack; pallas only).
-    slim = settings.trace.method == "pallas"
-    opts = _dc.replace(settings.trace, planar=planar, compaction=(),
-                       fresh_pack=slim, slim_out=slim)
-
-    # --- global prepass (1/256 of the frame's rays), run once outside the
-    # band programs; the P(axis) in_specs scatter its maps into bands,
-    # removing the only cross-band neighbour dependency (5-cell kill) ----
-    kill_full = cost_full = None
-    if metric.config.use_prepass:
-        pw = max(W // settings.prepass_scale, 4)
-        ph = max(H // settings.prepass_scale, 4)
-        psettings = _dc.replace(settings, width=pw, height=ph,
-                                adaptive_sampling=False)
-        dead, psteps = pipeline._prepass_dead_map(
-            metric, camera, params, psettings, features)
-        # (Hh*Wh,) row-major: P(axis) on axis 0 splits these into exactly
-        # the per-band quarter rows.
-        kill_full = pipeline._prepass_kill(dead, W, H, Wh, Hh)
-        cost_full = pipeline._prepass_cost(psteps, W, H, Wh, Hh)
-
-    def band_coords():
-        row0 = jax.lax.axis_index(axis) * Hb
-        yy = 2.0 * (row0 + jnp.arange(Hb, dtype=jnp.int32)).astype(
-            jnp.float32)
-        qcy = jnp.repeat(yy, Wh)
-        qcx = jnp.tile(2.0 * jnp.arange(Wh, dtype=jnp.float32), Hb)
-        return qcx, qcy
+    Wh, Hb, k, band_settings, opts, kill_full, cost_full = _band_setup(
+        metric, camera, params, settings, features, n_dev)
+    q_band, r_band, f_band = _adaptive_band_stages(
+        metric, settings, features, Hb, Wh, k, band_settings, opts)
 
     def quarter_stage(camera, params, kill, qcost):
-        qcx, qcy = band_coords()
-        state, ku, iquat = pipeline._init_rays(
-            metric, camera, params, settings, features, qcx, qcy, kill)
-        f_in_x = jnp.abs(state.velocity[:, 0])
-        qfin = integrate.trace_rays(metric, state, params, features=features,
-                                    opts=opts, sort_key=qcost, f_in_x=f_in_x)
-        qr = pipeline.compute_render_data(metric, qfin, ku, params, features,
-                                          inv_quat=iquat)
-        qg = pipeline.RenderData(
-            *(f.reshape((Hb, Wh) + f.shape[1:]) for f in qr))
-        # Refine packing key: quarter-neighbour max of measured step counts
-        # (pipeline._refine_setup_jit's in-frame estimate).
-        qsteps = qg.steps
-        qcost_exact = jnp.maximum(
-            jnp.maximum(qsteps, jnp.roll(qsteps, -1, axis=1)),
-            jnp.maximum(jnp.roll(qsteps, -1, axis=0),
-                        jnp.roll(qsteps, (-1, -1), axis=(0, 1))),
-        ).astype(jnp.float32).reshape(-1)
-        return qr, qcost_exact
+        return q_band(jax.lax.axis_index(axis) * Hb, camera, params, kill,
+                      qcost)
 
     def refine_stage(camera, params, qr, qcost_exact):
-        qcx, qcy = band_coords()
-        qg = pipeline.RenderData(
-            *(f.reshape((Hb, Wh) + f.shape[1:]) for f in qr))
-        should, sel, dest = pipeline._select_refine_blocks(qg, settings, k)
-        sflat = should.reshape(-1)[sel]
-        scx, scy = qcx[sel], qcy[sel]
-        rcx = jnp.concatenate(
-            [scx + ox for ox, oy in pipeline._REFINE_OFFSETS])
-        rcy = jnp.concatenate(
-            [scy + oy for ox, oy in pipeline._REFINE_OFFSETS])
-        rkill = ~jnp.concatenate([sflat] * 3)
-        rcost = jnp.concatenate([qcost_exact[sel]] * 3)
-        rstate, rku, riquat = pipeline._init_rays(
-            metric, camera, params, settings, features, rcx, rcy, rkill)
-        rf_in_x = jnp.abs(rstate.velocity[:, 0])
-        rfin = integrate.trace_rays(metric, rstate, params, features=features,
-                                    opts=opts, sort_key=rcost,
-                                    f_in_x=rf_in_x)
-        return rfin, rku, riquat, should, sel, dest
+        return r_band(jax.lax.axis_index(axis) * Hb, camera, params, qr,
+                      qcost_exact)
 
-    def finish_stage(params, rfin, rku, riquat, qr, should, sel, dest,
-                     backgrounds):
-        img, _ = pipeline._finish_shade_jit(
-            metric, rfin, rku, riquat, params, features, qr, should, sel,
-            dest, backgrounds, band_settings, k)
-        return img
+    finish_stage = f_band
 
     # One cached (shard_map + jit) program per stage per configuration —
     # a fresh wrapper per frame would re-trace every call.  Keyed by
@@ -285,10 +323,6 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
         _ADAPTIVE_PROGRAMS[ckey] = progs
     q_prog, r_prog, f_prog = progs
 
-    if kill_full is None:
-        # no prepass: trace everything, flat cost key
-        kill_full = jnp.zeros((Hh * Wh,), bool)
-        cost_full = jnp.zeros((Hh * Wh,), jnp.float32)
     qr, qcost_exact = q_prog(camera, params, kill_full, cost_full)
     rfin, rku, riquat, should, sel, dest = r_prog(
         camera, params, qr, qcost_exact)
@@ -296,9 +330,67 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
                   backgrounds)
 
 
-# Stage-program cache for sharded_adaptive_frame, keyed by
-# (id(metric), metric name, mesh, settings, refine k, features values);
-# FIFO-bounded so long interactive sessions can't pin unbounded programs.
+def banded_adaptive_frame(metric: Metric, camera: cam.Camera, params,
+                          backgrounds: bg.Background,
+                          settings: pipeline.RenderSettings,
+                          n_bands: int,
+                          features: Features | None = None,
+                          band_sync=None) -> Array:
+    """The production adaptive pipeline run as ``n_bands`` sequential
+    band-local program chains on ONE device — the exact band decomposition
+    ``sharded_adaptive_frame`` distributes over a mesh (the stage code is
+    shared; ``row0`` is passed as a traced argument instead of derived from
+    ``axis_index``, so one compiled program serves every band).
+
+    Purpose: measure the *banding tax* on the single real chip — the
+    band-boundary must-refine rows, the k/n_bands refine-budget split, and
+    the smaller per-launch ray batches.  With load-balanced bands, N-chip
+    scaling efficiency is bounded by ``T(1 band) / (N * T(slowest band))``;
+    ``scripts/band_tax_bench.py`` records both the per-band times (via
+    ``band_sync``, called with each band's image to force it) and the total.
+
+    Ref: the reference's per-pixel dispatch has no analogue of this
+    decomposition (single-GPU, SURVEY §2.4); this is the TPU-native
+    scaling design's measurable half (BASELINE.json north star).
+    """
+    if features is None:
+        features = Features.for_metric(metric)
+    Wh, Hb, k, band_settings, opts, kill_full, cost_full = _band_setup(
+        metric, camera, params, settings, features, n_bands)
+    nqb = Wh * Hb
+
+    ckey = ("banded", id(metric), metric.name, n_bands, settings, k,
+            tuple(float(v) for v in features))
+    progs = _ADAPTIVE_PROGRAMS.get(ckey)
+    if progs is None:
+        if len(_ADAPTIVE_PROGRAMS) >= _ADAPTIVE_PROGRAMS_CAP:
+            _ADAPTIVE_PROGRAMS.pop(next(iter(_ADAPTIVE_PROGRAMS)))
+        q_band, r_band, f_band = _adaptive_band_stages(
+            metric, settings, features, Hb, Wh, k, band_settings, opts)
+        progs = (jax.jit(q_band), jax.jit(r_band), jax.jit(f_band))
+        _ADAPTIVE_PROGRAMS[ckey] = progs
+    q_prog, r_prog, f_prog = progs
+
+    imgs = []
+    for b in range(n_bands):
+        row0 = jnp.int32(b * Hb)
+        kb = jax.lax.slice_in_dim(kill_full, b * nqb, (b + 1) * nqb)
+        cb = jax.lax.slice_in_dim(cost_full, b * nqb, (b + 1) * nqb)
+        qr, qcost_exact = q_prog(row0, camera, params, kb, cb)
+        rfin, rku, riquat, should, sel, dest = r_prog(
+            row0, camera, params, qr, qcost_exact)
+        img = f_prog(params, rfin, rku, riquat, qr, should, sel, dest,
+                     backgrounds)
+        if band_sync is not None:
+            band_sync(b, img)
+        imgs.append(img)
+    return jnp.concatenate(imgs, axis=0)
+
+
+# Stage-program cache for sharded_adaptive_frame / banded_adaptive_frame,
+# keyed by (id(metric), metric name, mesh-or-band-count, settings, refine k,
+# features values); FIFO-bounded so long interactive sessions can't pin
+# unbounded programs.
 _ADAPTIVE_PROGRAMS: dict = {}
 _ADAPTIVE_PROGRAMS_CAP = 32
 

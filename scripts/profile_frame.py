@@ -49,6 +49,8 @@ def parse_perfetto(path: str, n_frames: int) -> None:
     per_prog = collections.Counter()
     per_prog_n = collections.Counter()
     device_total = 0.0
+    mod_spans = []  # (ts, ts+dur, name) for op->program attribution
+    op_events = []
     for ev in events:
         if ev.get("ph") != "X":
             continue
@@ -58,14 +60,30 @@ def parse_perfetto(path: str, n_frames: int) -> None:
             continue
         name = ev.get("name", "?")
         dur = float(ev.get("dur", 0.0))  # us
+        ts = float(ev.get("ts", 0.0))
         if tname == "XLA Modules":
             per_prog[name] += dur
             per_prog_n[name] += 1
             device_total += dur
             mods[name].append(dur)
+            mod_spans.append((ts, ts + dur, name))
         elif tname == "XLA Ops":
             ops[name] += dur
             ops_n[name] += 1
+            op_events.append((ts, dur, name))
+    # Attribute each op slice to the module slice containing its start time.
+    mod_spans.sort()
+    starts = [s[0] for s in mod_spans]
+    import bisect
+
+    prog_ops = collections.defaultdict(collections.Counter)
+    prog_ops_n = collections.defaultdict(collections.Counter)
+    for ts, dur, name in op_events:
+        i = bisect.bisect_right(starts, ts) - 1
+        if i >= 0 and ts < mod_spans[i][1]:
+            prog = mod_spans[i][2]
+            prog_ops[prog][name] += dur
+            prog_ops_n[prog][name] += 1
     if not per_prog:
         print("NO device slices found; track names were:")
         for k, v in sorted(set(pids.items())):
@@ -82,6 +100,17 @@ def parse_perfetto(path: str, n_frames: int) -> None:
         print(f"\ntop ops ({n_frames} frames, ms/frame):")
         for name, dur in ops.most_common(40):
             print(f"  {dur / n_frames / 1e3:8.2f} ms  x{ops_n[name] / n_frames:6.1f}  {name[:90]}")
+    # Within-program breakdown for the top programs — this is what names
+    # the reducible glue inside e.g. the fused finish+shade program.
+    for prog, _ in per_prog.most_common(5):
+        sub = prog_ops.get(prog)
+        if not sub:
+            continue
+        tot = sum(sub.values())
+        print(f"\n  ops inside {prog[:70]} ({tot / n_frames / 1e3:.2f} ms):")
+        for name, dur in sub.most_common(14):
+            print(f"    {dur / n_frames / 1e3:8.2f} ms  "
+                  f"x{prog_ops_n[prog][name] / n_frames:6.1f}  {name[:80]}")
 
 
 def main() -> int:

@@ -36,6 +36,11 @@ def main() -> int:
     ap.add_argument("--budgets", default="64,128")
     ap.add_argument("--segments", type=int, default=8)
     ap.add_argument("--slab-blocks", type=int, default=128)
+    ap.add_argument("--grouped", action="store_true",
+                    help="two-level object/patch intersector (VERDICT r3 "
+                    "item 4): --budgets sweeps the OBJECT-segment budget")
+    ap.add_argument("--patch-budget", type=int, default=8)
+    ap.add_argument("--chunk-budget", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -53,7 +58,8 @@ def main() -> int:
     from geodesic_raytracing_tpu.triangles import (
         TriangleScene, make_cube, precompute_object, subtriangulate)
     from geodesic_raytracing_tpu.triangles.render import (
-        build_swept_triangles, intersect_scene_binned)
+        build_swept_triangles, intersect_scene_binned,
+        intersect_scene_grouped)
 
     m = metrics.get_metric("schwarzschild")
     params = m.params()
@@ -116,6 +122,13 @@ def main() -> int:
     for budget in [int(b) for b in args.budgets.split(",")]:
 
         def run_slab(p_slab):
+            if args.grouped:
+                # budget = object-segment entries per chunk; per-triangle
+                # work happens in the object's local frame (patch culling).
+                return intersect_scene_grouped(
+                    m, p_slab, scene, geos, params, block=block,
+                    obj_budget=budget, chunk_budget=args.chunk_budget,
+                    patch_budget=args.patch_budget, with_stats=True)
             return intersect_scene_binned(
                 m, p_slab, scene, geos, params, block=block,
                 budget=budget, with_stats=True)

@@ -175,3 +175,40 @@ def test_train_step_grad_finite_at_scale():
         losses.append(float(loss))
         assert all(np.isfinite(float(v)) for v in params.values()), params
     assert losses[1] < losses[0]
+
+
+def test_banded_adaptive_frame_matches_sharded():
+    """banded_adaptive_frame (sequential band chains on ONE device, explicit
+    row0) must reproduce sharded_adaptive_frame (shard_map over the mesh,
+    row0 from axis_index) EXACTLY — the stage code is shared, so the two
+    paths differ only in how bands are dispatched.  This is what makes the
+    single-chip band-tax measurement (scripts/band_tax_bench.py) evidence
+    about the sharded path rather than about a look-alike."""
+    from conftest import tier
+
+    from geodesic_raytracing_tpu.parallel.mesh import (
+        banded_adaptive_frame,
+        sharded_adaptive_frame,
+    )
+
+    size = tier(48, 64)
+    max_steps = tier(256, 1024)
+    m = metrics.get_metric("kerr_boyer")
+    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    backgrounds = bg.checker_background(64, 128)
+    settings = RenderSettings(
+        width=size, height=size, anisotropy=2, adaptive_sampling=True,
+        refine_budget=1.0, shade_traced_only=True,
+        trace=TraceOptions(max_steps=max_steps, method="while"),
+    )
+    feats = Features.for_metric(m)
+    mesh = ray_mesh()
+    n_bands = mesh.devices.size
+    sharded = np.asarray(sharded_adaptive_frame(
+        m, mesh, camera, m.params(), backgrounds, settings, feats))
+    band_heights = []
+    banded = np.asarray(banded_adaptive_frame(
+        m, camera, m.params(), backgrounds, settings, n_bands, feats,
+        band_sync=lambda b, img: band_heights.append(img.shape[0])))
+    assert band_heights == [size // n_bands] * n_bands
+    np.testing.assert_array_equal(banded, sharded)
