@@ -39,24 +39,72 @@ def _is_complex_dtype(dt) -> bool:
 
 
 def _pair(v):
-    """Promote a real value to a (re, im) pair."""
+    """Promote a real value to a (re, im) pair.
+
+    ``im is None`` means EXACTLY zero, tracked symbolically: real values
+    entering complex arithmetic (coordinates, parameters — most of the
+    Ernst-potential inputs) would otherwise drag dense zero-imag arrays
+    through every downstream op, and XLA cannot fold ``x * 0`` away for
+    floats (inf/NaN semantics).  Pruning at trace time here is the same
+    convention the hand-written metrics use for structural zeros
+    (geometry.sym_metric); measured on the double_kerr step jaxpr it
+    removes ~1/3 of the multiplies."""
     if isinstance(v, tuple):
         return v
-    return (v, jnp.zeros_like(v))
+    return (v, None)
+
+
+def _mat(i, like):
+    """Materialise a symbolic-zero imag as a real array (for consumers
+    that need one, e.g. the custom-JVP sqrt/abs kernels)."""
+    return jnp.zeros_like(like) if i is None else i
+
+
+def _zadd(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def _zsub(a, b):
+    if b is None:
+        return a
+    if a is None:
+        return -b
+    return a - b
+
+
+def _zneg(a):
+    return None if a is None else -a
+
+
+def _zmul(a, b):
+    if a is None or b is None:
+        return None
+    return a * b
 
 
 def _cmul(a, b):
     ar, ai = a
     br, bi = b
-    return (ar * br - ai * bi, ar * bi + ai * br)
+    return (_zsub(ar * br, _zmul(ai, bi)),
+            _zadd(_zmul(ar, bi), _zmul(ai, br)))
 
 
 def _cdiv(a, b):
     ar, ai = a
     br, bi = b
+    # geometry.recip: the JVP sweeps over the realified graph stay
+    # div-free (same convention as the hand-written metrics).
+    if bi is None:
+        inv = geometry.recip(br)
+        return (ar * inv, _zmul(ai, inv))
     d = br * br + bi * bi
-    inv = 1.0 / d
-    return ((ar * br + ai * bi) * inv, (ai * br - ar * bi) * inv)
+    inv = geometry.recip(d)
+    return (_zadd(ar * br, _zmul(ai, bi)) * inv,
+            _zsub(_zmul(ai, br), ar * bi) * inv)
 
 
 @jax.custom_jvp
@@ -69,11 +117,13 @@ def _cabs2_jvp(primals, tangents):
     ar, ai = primals
     dar, dai = tangents
     m = _cabs2(ar, ai)
-    return m, (ar * dar + ai * dai) / jnp.maximum(m, 1e-37)
+    return m, (ar * dar + ai * dai) * geometry.recip(jnp.maximum(m, 1e-37))
 
 
 def _cabs(a):
     ar, ai = a
+    if ai is None:
+        return jnp.abs(ar)
     return _cabs2(ar, ai)
 
 
@@ -96,14 +146,17 @@ def _csqrt2_jvp(primals, tangents):
     ar, ai = primals
     dar, dai = tangents
     wr, wi = _csqrt2(ar, ai)
-    inv = 1.0 / (2.0 * jnp.maximum(wr * wr + wi * wi, 1e-37))
+    inv = 0.5 * geometry.recip(jnp.maximum(wr * wr + wi * wi, 1e-37))
     return (wr, wi), ((dar * wr + dai * wi) * inv,
                       (dai * wr - dar * wi) * inv)
 
 
 def _csqrt(a):
     ar, ai = a
-    return _csqrt2(ar, ai)
+    # A symbolic-zero imag still needs the complex branch (ar may be
+    # negative); materialise it for the custom-JVP kernel, whose rule
+    # handles the ai == 0 smoothness hazard.
+    return _csqrt2(ar, _mat(ai, ar))
 
 
 def _cint_pow(a, n: int):
@@ -126,7 +179,7 @@ def _cpow(a, c):
     """z**c for REAL exponent c via the polar form."""
     ar, ai = a
     m = _cabs(a)
-    theta = geometry.arctan2(ai, ar)
+    theta = geometry.arctan2(_mat(ai, ar), ar)
     mc = jnp.power(jnp.maximum(m, 1e-37), c)
     return (mc * jnp.cos(c * theta), mc * jnp.sin(c * theta))
 
@@ -136,6 +189,8 @@ def _read(env, consts_env, v):
         val = v.val
         if _is_complex_dtype(getattr(np.asarray(val), "dtype", None)):
             val = np.asarray(val)
+            if np.all(val.imag == 0):
+                return (jnp.asarray(val.real, jnp.float32), None)
             return (jnp.asarray(val.real, jnp.float32),
                     jnp.asarray(val.imag, jnp.float32))
         return jnp.asarray(val)
@@ -151,8 +206,11 @@ def _eval_jaxpr(jaxpr, consts, args):
     for v, c in zip(jaxpr.constvars, consts):
         if _is_complex_dtype(getattr(c, "dtype", None)):
             c = np.asarray(c)
-            write(v, (jnp.asarray(c.real, jnp.float32),
-                      jnp.asarray(c.imag, jnp.float32)))
+            if np.all(c.imag == 0):
+                write(v, (jnp.asarray(c.real, jnp.float32), None))
+            else:
+                write(v, (jnp.asarray(c.real, jnp.float32),
+                          jnp.asarray(c.imag, jnp.float32)))
         else:
             write(v, c)
     for v, a in zip(jaxpr.invars, args):
@@ -213,19 +271,20 @@ def _eval_jaxpr(jaxpr, consts, args):
         elif name == "real":
             write(eq.outvars[0], _pair(ins[0])[0])
         elif name == "imag":
-            write(eq.outvars[0], _pair(ins[0])[1])
+            r, i = _pair(ins[0])
+            write(eq.outvars[0], _mat(i, r))
         elif name == "conj":
             r, i = _pair(ins[0])
-            write(eq.outvars[0], (r, -i))
+            write(eq.outvars[0], (r, _zneg(i)))
         elif name == "neg":
             r, i = _pair(ins[0])
-            write(eq.outvars[0], (-r, -i))
+            write(eq.outvars[0], (-r, _zneg(i)))
         elif name in ("add", "add_any"):
             a, b = _pair(ins[0]), _pair(ins[1])
-            write(eq.outvars[0], (a[0] + b[0], a[1] + b[1]))
+            write(eq.outvars[0], (a[0] + b[0], _zadd(a[1], b[1])))
         elif name == "sub":
             a, b = _pair(ins[0]), _pair(ins[1])
-            write(eq.outvars[0], (a[0] - b[0], a[1] - b[1]))
+            write(eq.outvars[0], (a[0] - b[0], _zsub(a[1], b[1])))
         elif name == "mul":
             write(eq.outvars[0], _cmul(_pair(ins[0]), _pair(ins[1])))
         elif name == "div":
@@ -252,30 +311,42 @@ def _eval_jaxpr(jaxpr, consts, args):
         elif name == "exp":
             r, i = _pair(ins[0])
             er = jnp.exp(r)
-            write(eq.outvars[0], (er * jnp.cos(i), er * jnp.sin(i)))
+            if i is None:
+                write(eq.outvars[0], (er, None))
+            else:
+                write(eq.outvars[0], (er * jnp.cos(i), er * jnp.sin(i)))
         elif name == "log":
             a = _pair(ins[0])
             write(eq.outvars[0],
                   (jnp.log(jnp.maximum(_cabs(a), 1e-37)),
-                   geometry.arctan2(a[1], a[0])))
+                   geometry.arctan2(_mat(a[1], a[0]), a[0])))
         elif name == "select_n":
             pred = ins[0]
             cases = [_pair(x) for x in ins[1:]]
+            if all(c[1] is None for c in cases):
+                im = None
+            else:
+                im = jax.lax.select_n(
+                    pred, *[_mat(c[1], c[0]) for c in cases])
             write(eq.outvars[0],
-                  (jax.lax.select_n(pred, *[c[0] for c in cases]),
-                   jax.lax.select_n(pred, *[c[1] for c in cases])))
+                  (jax.lax.select_n(pred, *[c[0] for c in cases]), im))
         elif name == "concatenate":
             pairs = [_pair(x) for x in ins]
+            if all(p[1] is None for p in pairs):
+                im = None
+            else:
+                im = jax.lax.concatenate(
+                    [_mat(p[1], p[0]) for p in pairs],
+                    eq.params["dimension"])
             write(eq.outvars[0],
                   (jax.lax.concatenate([p[0] for p in pairs],
-                                       eq.params["dimension"]),
-                   jax.lax.concatenate([p[1] for p in pairs],
-                                       eq.params["dimension"])))
+                                       eq.params["dimension"]), im))
         elif name in _STRUCTURAL:
             r, i = _pair(ins[0])
             write(eq.outvars[0],
                   (eq.primitive.bind(r, **_real_params(eq.params)),
-                   eq.primitive.bind(i, **_real_params(eq.params))))
+                   None if i is None
+                   else eq.primitive.bind(i, **_real_params(eq.params))))
         else:
             raise NotImplementedError(
                 f"realify: no rule for complex primitive {name!r}"
