@@ -110,26 +110,41 @@ def sharded_render_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
 
 
 def _adaptive_band_stages(metric: Metric, settings, features, Hb: int,
-                          Wh: int, k: int, band_settings, opts):
+                          Wh: int, k: int, band_settings, opts,
+                          Hh: int, mirror: bool):
     """Band-local stage functions for the production adaptive pipeline.
 
-    Each stage covers one horizontal band of ``Hb`` quarter rows starting at
-    quarter row ``row0`` (the leading argument).  ``sharded_adaptive_frame``
-    wires ``row0 = axis_index * Hb`` inside ``shard_map``;
-    ``banded_adaptive_frame`` passes it explicitly to run the SAME programs
-    sequentially on one device — keeping the two paths behaviourally
-    identical by construction.
-    """
+    Each stage covers one band of ``Hb`` quarter rows, identified by the
+    leading band-index argument ``b``.  ``sharded_adaptive_frame`` wires
+    ``b = axis_index`` inside ``shard_map``; ``banded_adaptive_frame``
+    passes it explicitly to run the SAME programs sequentially on one
+    device — keeping the two paths behaviourally identical by construction.
 
-    def band_coords(row0):
-        yy = 2.0 * (row0 + jnp.arange(Hb, dtype=jnp.int32)).astype(
-            jnp.float32)
+    ``mirror``: band b covers the top half-chunk ``[b*Hb/2, (b+1)*Hb/2)``
+    PLUS its mirrored bottom chunk — centred scenes (the hole in the
+    middle rows) cost-balance across bands (measured 1.26x max-share
+    imbalance for contiguous bands at x8; see BENCH_NOTES round 4).  The
+    half-chunk seam rows fall under the same must-refine rule as band
+    boundaries, so nothing interpolates across non-adjacent rows.
+    """
+    Hb2 = Hb // 2
+    seam = (Hb2 - 1, Hb2) if mirror else ()
+
+    def band_rows(b):
+        r = jnp.arange(Hb, dtype=jnp.int32)
+        if mirror:
+            return jnp.where(r < Hb2, b * Hb2 + r,
+                             Hh - (b + 1) * Hb2 + (r - Hb2))
+        return b * Hb + r
+
+    def band_coords(b):
+        yy = 2.0 * band_rows(b).astype(jnp.float32)
         qcy = jnp.repeat(yy, Wh)
         qcx = jnp.tile(2.0 * jnp.arange(Wh, dtype=jnp.float32), Hb)
         return qcx, qcy
 
-    def quarter_stage(row0, camera, params, kill, qcost):
-        qcx, qcy = band_coords(row0)
+    def quarter_stage(b, camera, params, kill, qcost):
+        qcx, qcy = band_coords(b)
         state, ku, iquat = pipeline._init_rays(
             metric, camera, params, settings, features, qcx, qcy, kill)
         f_in_x = jnp.abs(state.velocity[:, 0])
@@ -149,11 +164,12 @@ def _adaptive_band_stages(metric: Metric, settings, features, Hb: int,
         ).astype(jnp.float32).reshape(-1)
         return qr, qcost_exact
 
-    def refine_stage(row0, camera, params, qr, qcost_exact):
-        qcx, qcy = band_coords(row0)
+    def refine_stage(b, camera, params, qr, qcost_exact):
+        qcx, qcy = band_coords(b)
         qg = pipeline.RenderData(
             *(f.reshape((Hb, Wh) + f.shape[1:]) for f in qr))
-        should, sel, dest = pipeline._select_refine_blocks(qg, settings, k)
+        should, sel, dest = pipeline._select_refine_blocks(qg, settings, k,
+                                                          seam_rows=seam)
         sflat = should.reshape(-1)[sel]
         scx, scy = qcx[sel], qcy[sel]
         rcx = jnp.concatenate(
@@ -181,7 +197,7 @@ def _adaptive_band_stages(metric: Metric, settings, features, Hb: int,
 
 
 def _band_setup(metric: Metric, camera: cam.Camera, params, settings,
-                features, n_bands: int):
+                features, n_bands: int, mirror: bool | None = None):
     """Shared per-frame setup for the band-decomposed adaptive pipeline:
     band geometry, per-band refine budget, slim trace options, and the
     once-per-frame global prepass maps (or flat defaults)."""
@@ -224,13 +240,39 @@ def _band_setup(metric: Metric, camera: cam.Camera, params, settings,
     if kill_full is None:
         kill_full = jnp.zeros((Hh * Wh,), bool)
         cost_full = jnp.zeros((Hh * Wh,), jnp.float32)
-    return Wh, Hb, k, band_settings, opts, kill_full, cost_full
+
+    # Mirrored half-bands (see _adaptive_band_stages): needs an even band
+    # height; odd Hb (tiny test configs) falls back to contiguous bands.
+    # ``mirror=None`` = auto; tests pin it to exercise a specific layout.
+    if mirror is None:
+        mirror = n_bands > 1 and Hb % 2 == 0
+    else:
+        mirror = mirror and n_bands > 1 and Hb % 2 == 0
+    inv_fullres = None
+    if mirror:
+        Hb2 = Hb // 2
+        order = np.concatenate([
+            np.concatenate([
+                np.arange(b * Hb2, (b + 1) * Hb2),
+                np.arange(Hh - (b + 1) * Hb2, Hh - b * Hb2),
+            ]) for b in range(n_bands)
+        ])
+        # The prepass maps are consumed band-row-major: pre-permute them.
+        kill_full = kill_full.reshape(Hh, Wh)[order].reshape(-1)
+        cost_full = cost_full.reshape(Hh, Wh)[order].reshape(-1)
+        # Full-res row map for stitching the band-major output image back
+        # to image order: banded row 2*i(+1) shows image row 2*order[i](+1).
+        full_order = np.stack([2 * order, 2 * order + 1], axis=1).reshape(-1)
+        inv_fullres = jnp.asarray(np.argsort(full_order), jnp.int32)
+    return (Wh, Hb, k, band_settings, opts, kill_full, cost_full, Hh,
+            mirror, inv_fullres)
 
 
 def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
                            params, backgrounds: bg.Background,
                            settings: pipeline.RenderSettings,
-                           features: Features | None = None) -> Array:
+                           features: Features | None = None,
+                           mirror: bool | None = None) -> Array:
     """The PRODUCTION adaptive pipeline (prepass + quarter trace + budgeted
     refinement + traced-only shading) sharded over quarter-row bands.
 
@@ -280,17 +322,18 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
         features = Features.for_metric(metric)
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    Wh, Hb, k, band_settings, opts, kill_full, cost_full = _band_setup(
-        metric, camera, params, settings, features, n_dev)
+    (Wh, Hb, k, band_settings, opts, kill_full, cost_full, Hh, mirror,
+     inv_fullres) = _band_setup(metric, camera, params, settings, features,
+                                n_dev, mirror)
     q_band, r_band, f_band = _adaptive_band_stages(
-        metric, settings, features, Hb, Wh, k, band_settings, opts)
+        metric, settings, features, Hb, Wh, k, band_settings, opts, Hh,
+        mirror)
 
     def quarter_stage(camera, params, kill, qcost):
-        return q_band(jax.lax.axis_index(axis) * Hb, camera, params, kill,
-                      qcost)
+        return q_band(jax.lax.axis_index(axis), camera, params, kill, qcost)
 
     def refine_stage(camera, params, qr, qcost_exact):
-        return r_band(jax.lax.axis_index(axis) * Hb, camera, params, qr,
+        return r_band(jax.lax.axis_index(axis), camera, params, qr,
                       qcost_exact)
 
     finish_stage = f_band
@@ -301,7 +344,7 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
     # instances under one name must NOT share a program) and bounded: the
     # interactive path swaps metrics freely and the programs pin compiled
     # executables.
-    ckey = (id(metric), metric.name, mesh, settings, k,
+    ckey = (id(metric), metric.name, mesh, settings, k, mirror,
             tuple(float(v) for v in features))
     progs = _ADAPTIVE_PROGRAMS.get(ckey)
     if progs is None:
@@ -326,8 +369,12 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
     qr, qcost_exact = q_prog(camera, params, kill_full, cost_full)
     rfin, rku, riquat, should, sel, dest = r_prog(
         camera, params, qr, qcost_exact)
-    return f_prog(params, rfin, rku, riquat, qr, should, sel, dest,
-                  backgrounds)
+    img = f_prog(params, rfin, rku, riquat, qr, should, sel, dest,
+                 backgrounds)
+    if inv_fullres is not None:
+        # Band-major rows -> image rows (mirrored half-band layout).
+        img = img[inv_fullres]
+    return img
 
 
 def banded_adaptive_frame(metric: Metric, camera: cam.Camera, params,
@@ -335,7 +382,8 @@ def banded_adaptive_frame(metric: Metric, camera: cam.Camera, params,
                           settings: pipeline.RenderSettings,
                           n_bands: int,
                           features: Features | None = None,
-                          band_sync=None) -> Array:
+                          band_sync=None,
+                          mirror: bool | None = None) -> Array:
     """The production adaptive pipeline run as ``n_bands`` sequential
     band-local program chains on ONE device — the exact band decomposition
     ``sharded_adaptive_frame`` distributes over a mesh (the stage code is
@@ -355,36 +403,41 @@ def banded_adaptive_frame(metric: Metric, camera: cam.Camera, params,
     """
     if features is None:
         features = Features.for_metric(metric)
-    Wh, Hb, k, band_settings, opts, kill_full, cost_full = _band_setup(
-        metric, camera, params, settings, features, n_bands)
+    (Wh, Hb, k, band_settings, opts, kill_full, cost_full, Hh, mirror,
+     inv_fullres) = _band_setup(metric, camera, params, settings, features,
+                                n_bands, mirror)
     nqb = Wh * Hb
 
-    ckey = ("banded", id(metric), metric.name, n_bands, settings, k,
+    ckey = ("banded", id(metric), metric.name, n_bands, settings, k, mirror,
             tuple(float(v) for v in features))
     progs = _ADAPTIVE_PROGRAMS.get(ckey)
     if progs is None:
         if len(_ADAPTIVE_PROGRAMS) >= _ADAPTIVE_PROGRAMS_CAP:
             _ADAPTIVE_PROGRAMS.pop(next(iter(_ADAPTIVE_PROGRAMS)))
         q_band, r_band, f_band = _adaptive_band_stages(
-            metric, settings, features, Hb, Wh, k, band_settings, opts)
+            metric, settings, features, Hb, Wh, k, band_settings, opts, Hh,
+            mirror)
         progs = (jax.jit(q_band), jax.jit(r_band), jax.jit(f_band))
         _ADAPTIVE_PROGRAMS[ckey] = progs
     q_prog, r_prog, f_prog = progs
 
     imgs = []
     for b in range(n_bands):
-        row0 = jnp.int32(b * Hb)
+        bi = jnp.int32(b)
         kb = jax.lax.slice_in_dim(kill_full, b * nqb, (b + 1) * nqb)
         cb = jax.lax.slice_in_dim(cost_full, b * nqb, (b + 1) * nqb)
-        qr, qcost_exact = q_prog(row0, camera, params, kb, cb)
+        qr, qcost_exact = q_prog(bi, camera, params, kb, cb)
         rfin, rku, riquat, should, sel, dest = r_prog(
-            row0, camera, params, qr, qcost_exact)
+            bi, camera, params, qr, qcost_exact)
         img = f_prog(params, rfin, rku, riquat, qr, should, sel, dest,
                      backgrounds)
         if band_sync is not None:
             band_sync(b, img)
         imgs.append(img)
-    return jnp.concatenate(imgs, axis=0)
+    img = jnp.concatenate(imgs, axis=0)
+    if inv_fullres is not None:
+        img = img[inv_fullres]
+    return img
 
 
 # Stage-program cache for sharded_adaptive_frame / banded_adaptive_frame,

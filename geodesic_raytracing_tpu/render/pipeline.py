@@ -1144,8 +1144,9 @@ def _adaptive_should_sample(qg: RenderData, settings: RenderSettings) -> Array:
     return (err_ratio >= 1.0) | must
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "k"))
-def _select_refine_blocks(qg: RenderData, settings: RenderSettings, k: int):
+@functools.partial(jax.jit, static_argnames=("settings", "k", "seam_rows"))
+def _select_refine_blocks(qg: RenderData, settings: RenderSettings, k: int,
+                          seam_rows: tuple = ()):
     """Top-k refinement blocks by error priority, O(N) bucket partition.
 
     The reference builds an unbounded refinement list with atomic_add
@@ -1155,8 +1156,14 @@ def _select_refine_blocks(qg: RenderData, settings: RenderSettings, k: int):
     ``sel`` the selected flat block ids, ``dest`` the inverse permutation
     (``concat(parts, filler)[dest]`` scatters k results back to N blocks,
     gather-only), with ``dest < k`` marking selected blocks.
+
+    ``seam_rows``: grid rows that are NOT image-adjacent to their grid
+    neighbour (mirrored half-bands, parallel/mesh) — forced must-refine
+    exactly like band boundaries, so interpolation never crosses a seam.
     """
     err_ratio, must = _refine_error_terms(qg, settings)
+    for r in seam_rows:
+        must = must.at[r, :].set(True)
     should = (err_ratio >= 1.0) | must
 
     # Buckets: 0 = must-refine; 1..14 descending error (log2 steps);

@@ -83,8 +83,11 @@ def test_sharded_adaptive_frame_matches_single_device():
     single = np.asarray(pl.render_frame(m, camera, m.params(), backgrounds,
                                         settings, feats))
     mesh = ray_mesh()
+    # mirror=False: this test's interior mask assumes contiguous bands;
+    # the mirrored layout has its own test below.
     sharded = np.asarray(sharded_adaptive_frame(
-        m, mesh, camera, m.params(), backgrounds, settings, feats))
+        m, mesh, camera, m.params(), backgrounds, settings, feats,
+        mirror=False))
     assert sharded.shape == single.shape
     assert np.isfinite(sharded).all()
     d = np.abs(single - sharded).max(axis=-1)
@@ -212,3 +215,45 @@ def test_banded_adaptive_frame_matches_sharded():
         band_sync=lambda b, img: band_heights.append(img.shape[0])))
     assert band_heights == [size // n_bands] * n_bands
     np.testing.assert_array_equal(banded, sharded)
+
+
+def test_mirrored_banded_frame_matches_single_device():
+    """Mirrored half-bands (cost balancing): band b covers a top chunk and
+    its mirrored bottom chunk; seam/boundary rows are must-refine, so away
+    from chunk edges the stitched image must match the single-device frame
+    exactly (the stages share all per-ray code; only the row partition and
+    the stitch differ)."""
+    from conftest import tier
+
+    from geodesic_raytracing_tpu.parallel.mesh import banded_adaptive_frame
+    from geodesic_raytracing_tpu.render import pipeline as pl
+
+    size = 64
+    n_bands = 2          # Hb = 16 quarter rows, half-chunk 8 -> mirror legal
+    max_steps = tier(256, 1024)
+    m = metrics.get_metric("kerr_boyer")
+    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    backgrounds = bg.checker_background(64, 128)
+    settings = RenderSettings(
+        width=size, height=size, anisotropy=2, adaptive_sampling=True,
+        refine_budget=1.0, shade_traced_only=True,
+        trace=TraceOptions(max_steps=max_steps, method="while"),
+    )
+    feats = Features.for_metric(m)
+    single = np.asarray(pl.render_frame(m, camera, m.params(), backgrounds,
+                                        settings, feats))
+    banded = np.asarray(banded_adaptive_frame(
+        m, camera, m.params(), backgrounds, settings, n_bands, feats,
+        mirror=True))
+    assert banded.shape == single.shape
+    assert np.isfinite(banded).all()
+    d = np.abs(single - banded).max(axis=-1)
+    # Half-chunk size: 8 quarter rows = 16 full-res rows; chunk tops and
+    # bottoms (2 full-res rows each) are the boundary/seam set.
+    chunk = 16
+    interior = np.ones(size, bool)
+    for c0 in range(0, size, chunk):
+        interior[c0:c0 + 2] = False
+        interior[c0 + chunk - 2:c0 + chunk] = False
+    assert (d[interior] > 0.05).mean() < 0.02, (d[interior] > 0.05).mean()
+    assert (d > 0.1).mean() < 0.2, (d > 0.1).mean()
