@@ -241,13 +241,14 @@ def _band_setup(metric: Metric, camera: cam.Camera, params, settings,
         kill_full = jnp.zeros((Hh * Wh,), bool)
         cost_full = jnp.zeros((Hh * Wh,), jnp.float32)
 
-    # Mirrored half-bands (see _adaptive_band_stages): needs an even band
-    # height; odd Hb (tiny test configs) falls back to contiguous bands.
-    # ``mirror=None`` = auto; tests pin it to exercise a specific layout.
-    if mirror is None:
-        mirror = n_bands > 1 and Hb % 2 == 0
-    else:
-        mirror = mirror and n_bands > 1 and Hb % 2 == 0
+    # Mirrored half-bands (see _adaptive_band_stages): available but OFF
+    # by default — measured on the flagship scene they WORSEN both work
+    # inflation (x1.33 vs x1.08 at 8 bands: seam must-refine rows + the
+    # extra per-frame permute/stitch programs) and balance (the cost
+    # field is not top-bottom symmetric; the edges band became the
+    # heaviest).  See BENCH_NOTES round 4.  Scenes with genuinely
+    # symmetric cost can opt in.
+    mirror = bool(mirror) and n_bands > 1 and Hb % 2 == 0
     inv_fullres = None
     if mirror:
         Hb2 = Hb // 2
