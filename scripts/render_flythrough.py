@@ -81,9 +81,17 @@ def main() -> int:
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    # Production trace on TPU (Pallas tiles + lane queues); the plain
+    # while driver on CPU.
+    if args.cpu:
+        trace = TraceOptions(max_steps=args.max_steps)
+    else:
+        from geodesic_raytracing_tpu.bench_config import production_trace
+
+        trace = production_trace(max_steps=args.max_steps)
     settings = RenderSettings(
         width=args.width, height=args.height, anisotropy=4,
-        trace=TraceOptions(max_steps=args.max_steps),
+        trace=trace,
     )
     backgrounds = bg.checker_background(512, 1024)
 
