@@ -24,8 +24,34 @@ jax.config.update("jax_num_cpu_devices", 8)
 # Persistent XLA compilation cache: the suite is compile-dominated on CPU
 # and the cache is content-hashed (HLO + backend config), so repeat runs
 # skip every unchanged program.  First run populates ~hundreds of entries.
-_cache = os.environ.get("JAX_TEST_CACHE",
-                        os.path.expanduser("~/.cache/jax_testcache"))
+#
+# The cache directory is keyed by the host's CPU feature set: the content
+# hash does NOT include machine features, so an XLA:CPU AOT executable
+# compiled on a different box loads with "machine type ... doesn't match"
+# warnings and can SIGILL/segfault mid-suite (observed round 4: a
+# 95%-through segfault loading feature-mismatched entries; the cache dir
+# outlives CI host reassignments).  A new host simply repopulates.
+
+
+def _cpu_feature_tag() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
+
+
+_cache = os.path.join(
+    os.environ.get("JAX_TEST_CACHE",
+                   os.path.expanduser("~/.cache/jax_testcache")),
+    _cpu_feature_tag())
 try:
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)

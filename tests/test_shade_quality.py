@@ -56,6 +56,15 @@ CASES = [
 
 
 def _renders(name: str):
+    import jax
+
+    # Full-suite runs segfault inside this test's first compile with
+    # several hundred live executables resident (reproducible at ~95%
+    # through the suite, twice, including on a freshly-populated
+    # per-host compile cache; every subset without the long prefix
+    # passes).  Dropping the in-process caches before compiling avoids
+    # the crash; the persistent on-disk cache makes the reload cheap.
+    jax.clear_caches()
     size = tier(96, 256)
     m = metrics.get_metric(name)
     cam = Camera.default().rotate(pitch=-np.pi / 2)
