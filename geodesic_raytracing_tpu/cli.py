@@ -227,8 +227,13 @@ def main(argv=None) -> int:
 
         controller = RefineBudgetController()
 
+        # One cached program for the sync scalar (un-jitted, the slice +
+        # sum dispatch as two tiny host-chained programs per frame over
+        # the ~105 ms tunnel — measured +7% on bench.py).
+        _sync_scalar = jax.jit(lambda im: jnp.sum(im[::128, ::128]))
+
         def sync(im):
-            return float(jnp.sum(im[::128, ::128]))
+            return float(_sync_scalar(im))
 
         # Settle warmup: the budget controller's first bucket change
         # recompiles the refine chain — keep that out of the printed
