@@ -228,7 +228,7 @@ def _eval_jaxpr(jaxpr, consts, args):
         # Sub-jaxpr calls (jit/custom_jvp wrappers) — recurse so complex
         # inside them realifies too; custom-JVP identities are dropped
         # (the realified graph differentiates as plain jnp arithmetic).
-        if name in ("pjit", "closed_call", "core_call"):
+        if name in ("pjit", "jit", "closed_call", "core_call"):
             sub = eq.params["jaxpr"]
             outs = _eval_jaxpr(sub.jaxpr, sub.consts, ins)
             for v, o in zip(eq.outvars, outs):
@@ -300,8 +300,10 @@ def _eval_jaxpr(jaxpr, consts, args):
                 # z**w = exp(w * log z) — jax promotes even real python
                 # exponents to complex when the base is.
                 z = _pair(ins[0])
+                # _mat: the base's imag may be a symbolic zero (None) —
+                # e.g. a real-valued base raised to a complex exponent.
                 logz = (jnp.log(jnp.maximum(_cabs(z), 1e-37)),
-                        geometry.arctan2(z[1], z[0]))
+                        geometry.arctan2(_mat(z[1], z[0]), z[0]))
                 wlog = _cmul(ins[1], logz)
                 er = jnp.exp(wlog[0])
                 write(eq.outvars[0],

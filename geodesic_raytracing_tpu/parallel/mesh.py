@@ -206,7 +206,7 @@ def _band_setup(metric: Metric, camera: cam.Camera, params, settings,
     W, H = settings.width, settings.height
     Wh, Hh = W // 2, H // 2
     assert Hh % n_bands == 0, (
-        f"quarter rows ({Hh}) must divide the band count ({n_bands})"
+        f"band count ({n_bands}) must divide quarter rows ({Hh})"
     )
     Hb = Hh // n_bands
     nqb = Wh * Hb
@@ -248,7 +248,15 @@ def _band_setup(metric: Metric, camera: cam.Camera, params, settings,
     # field is not top-bottom symmetric; the edges band became the
     # heaviest).  See BENCH_NOTES round 4.  Scenes with genuinely
     # symmetric cost can opt in.
-    mirror = bool(mirror) and n_bands > 1 and Hb % 2 == 0
+    if mirror and (n_bands <= 1 or Hb % 2):
+        # An EXPLICIT mirror request that cannot be honoured must not be
+        # silently downgraded (the cache key would record contiguous-band
+        # semantics under a mirror call).  mirror=None auto-off stays quiet.
+        raise ValueError(
+            f"mirror=True requires n_bands > 1 and an even band height "
+            f"(n_bands={n_bands}, Hb={Hb})"
+        )
+    mirror = bool(mirror)
     inv_fullres = None
     if mirror:
         Hb2 = Hb // 2

@@ -1162,6 +1162,23 @@ def _select_refine_blocks(qg: RenderData, settings: RenderSettings, k: int,
     exactly like band boundaries, so interpolation never crosses a seam.
     """
     err_ratio, must = _refine_error_terms(qg, settings)
+    if seam_rows:
+        # Seam blocks MUST be traced (interpolating across a seam blends
+        # non-image-adjacent rows into visible banding), but they compete
+        # in the same must bucket as borders/mismatch for the top-k.
+        # Statically require k to cover the deterministic must floor
+        # (seam rows + border rows/cols); dynamic mismatch blocks on top
+        # of that are bounded by the same terminated-edge geometry the
+        # contiguous-band path already budgets for.
+        Hh_g, Wh_g = qg.terminated.shape
+        must_floor = (len(seam_rows) + 2) * Wh_g + 2 * max(Hh_g - 2, 0)
+        if k < must_floor:
+            raise ValueError(
+                f"refine budget k={k} cannot cover the {must_floor} "
+                f"statically-forced must-refine blocks (seam rows "
+                f"{seam_rows} + borders) — raise refine_budget or drop "
+                f"mirror mode"
+            )
     for r in seam_rows:
         must = must.at[r, :].set(True)
     should = (err_ratio >= 1.0) | must

@@ -59,8 +59,13 @@ def main() -> int:
     backgrounds = bg.checker_background()
     n_rays = W * H
 
+    # Cached jitted sync scalar (same fix as bench.py/cli.py): un-jitted,
+    # the slice + sum dispatch as two tiny host-chained programs per frame
+    # over the ~105 ms tunnel, skewing per-band ratios at high band counts.
+    sync_scalar = jax.jit(lambda im: jnp.sum(im[::256, ::256]))
+
     def sync(x):
-        return float(jnp.sum(x[::256, ::256]))
+        return float(sync_scalar(x))
 
     def timed(frame_fn, label):
         """bench.py's pipelined protocol: warm, issue all frames, drain."""
@@ -69,7 +74,7 @@ def main() -> int:
         for _ in range(2):
             sync(frame_fn())
         t0 = time.perf_counter()
-        sums = [jnp.sum(frame_fn()[::256, ::256]) for _ in range(args.frames)]
+        sums = [sync_scalar(frame_fn()) for _ in range(args.frames)]
         for s in sums:
             float(s)
         dt = (time.perf_counter() - t0) / args.frames
@@ -100,7 +105,7 @@ def main() -> int:
         stamps = []
 
         def band_sync(b, img, stamps=stamps):
-            float(jnp.sum(img[::256, ::256]))
+            sync(img)
             stamps.append(time.perf_counter())
 
         per_band = []

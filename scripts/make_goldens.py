@@ -64,6 +64,17 @@ def scene_configs():
     scenes = {}
     for name in metrics.list_metrics():
         scenes[name] = (name, None, {}, default)
+    # Alcubierre's default camera (r = 10, near the travel axis) sees the
+    # R = 2 bubble almost un-lensed: the round-2 golden measured
+    # RMSE-vs-flat 2.0 — BELOW the parity gate, so a regression to flat
+    # space would have passed (VERDICT r4 weak #1).  Side-on at r = 4 the
+    # bubble's lensing ring fills the frame (RMSE-vs-flat ~41, measured),
+    # and the view is distinct from alcubierre_paper's on-axis figure
+    # scene below.
+    alc_side = default._replace(
+        polar_position=np.array([0.0, 4.0, np.pi / 2, -np.pi / 2],
+                                np.float32))
+    scenes["alcubierre"] = ("alcubierre", None, {}, alc_side)
     scenes["kerr_redshift"] = ("kerr_boyer", None, dict(redshift=True),
                                default)
     # main.cpp:106 scene: observer at distance 4 on the travel axis,
@@ -156,6 +167,8 @@ def assert_differs_from_flat(key, spec, arr):
 def main(argv):
     import os
 
+    check_only = "--check" in argv
+    argv = [a for a in argv if a != "--check"]
     os.makedirs(OUT, exist_ok=True)
     scenes = scene_configs()
     only = set(argv[1:])
@@ -168,9 +181,23 @@ def main(argv):
         vs_flat = f" vs-flat rmse {res[0]:6.1f}" if res else ""
         fn = "%s/%s.png" % (
             OUT, key.replace(" ", "_").replace("(", "").replace(")", ""))
-        iio.imwrite(fn, arr)
-        print(f"{key:40s} {time.perf_counter() - t0:6.1f}s{vs_flat}  -> {fn}",
-              flush=True)
+        if check_only:
+            # Verify the checked-in golden instead of overwriting it: the
+            # render must pass both its own flat-guard AND the parity gate
+            # against the existing file (catalogue-wide self-consistency,
+            # VERDICT r4 weak #1).
+            golden = iio.imread(fn).astype(int)
+            d = np.abs(golden - arr.astype(int))
+            rmse = float(np.sqrt((d.astype(float) ** 2).mean()))
+            assert rmse < 4.0 and (d > 32).mean() < 0.01, (
+                f"{key}: fresh render disagrees with checked-in golden "
+                f"(rmse {rmse:.2f})")
+            print(f"{key:40s} {time.perf_counter() - t0:6.1f}s{vs_flat}  "
+                  f"OK vs {fn} (rmse {rmse:.2f})", flush=True)
+        else:
+            iio.imwrite(fn, arr)
+            print(f"{key:40s} {time.perf_counter() - t0:6.1f}s{vs_flat}"
+                  f"  -> {fn}", flush=True)
     return 0
 
 

