@@ -29,8 +29,13 @@ def production_trace(max_steps: int = 16384):
         # production kernel config would poison bench numbers — say so.
         print(f"[bench_config] GRT_QUEUE_DEPTH={qd} overrides the "
               "production queue depth (default 4)")
+    fuse_env = os.environ.get("GRT_FUSE_SETUP")
+    fuse = bool(int(fuse_env)) if fuse_env is not None else True
+    if fuse_env is not None and not fuse:
+        print("[bench_config] GRT_FUSE_SETUP=0: setup stages dispatched as "
+              "separate programs (A/B mode)")
     return TraceOptions(max_steps=max_steps, method="pallas", tile=2048,
-                        check_every=16, queue_depth=qd)
+                        check_every=16, queue_depth=qd, fuse_setup=fuse)
 
 
 # Demand-matched EWA probe schedules — see the comment in flagship_config.

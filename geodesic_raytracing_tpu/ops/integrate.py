@@ -125,6 +125,13 @@ class TraceOptions:
     # (acceleration / next_ds unused post-trace).  Final phases only: a
     # chained phase needs the full state.
     slim_out: bool = False
+    # Fuse the pipeline's setup program into its adjacent trace program
+    # (pallas, single-phase only): 2 host-chained programs become 1 —
+    # each still holds exactly ONE Mosaic kernel (the constraint is >= 2
+    # Mosaic kernels per program stalling the remote compile service) —
+    # and XLA can fuse the setup elementwise chain into the pack gather.
+    # The banded stages (parallel/mesh) have always compiled this shape.
+    fuse_setup: bool = True
 
 
 class RayState(NamedTuple):

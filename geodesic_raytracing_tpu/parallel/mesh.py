@@ -111,7 +111,7 @@ def sharded_render_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
 
 def _adaptive_band_stages(metric: Metric, settings, features, Hb: int,
                           Wh: int, k: int, band_settings, opts,
-                          Hh: int, mirror: bool):
+                          Hh: int, mirror: bool, balance_cpb: int = 0):
     """Band-local stage functions for the production adaptive pipeline.
 
     Each stage covers one band of ``Hb`` quarter rows, identified by the
@@ -126,25 +126,42 @@ def _adaptive_band_stages(metric: Metric, settings, features, Hb: int,
     imbalance for contiguous bands at x8; see BENCH_NOTES round 4).  The
     half-chunk seam rows fall under the same must-refine rule as band
     boundaries, so nothing interpolates across non-adjacent rows.
+
+    ``balance_cpb``: dynamic cost-balanced bands — band b covers
+    ``balance_cpb`` row chunks chosen PER FRAME from the prepass cost map
+    (``_cost_band_layout``); each stage takes the band's traced row
+    indices as an extra trailing argument.  Chunk-boundary rows in the
+    band grid sit at static positions (multiples of ``Hb/balance_cpb``)
+    and fall under the seam must-refine rule — the row CONTENT is traced,
+    the seam GEOMETRY is static, so one compiled program serves every
+    frame's assignment.  Mutually exclusive with ``mirror``.
     """
     Hb2 = Hb // 2
-    seam = (Hb2 - 1, Hb2) if mirror else ()
+    if balance_cpb:
+        assert not mirror
+        Hc = Hb // balance_cpb
+        seam = tuple(r for c in range(1, balance_cpb)
+                     for r in (c * Hc - 1, c * Hc))
+    else:
+        seam = (Hb2 - 1, Hb2) if mirror else ()
 
-    def band_rows(b):
+    def band_rows(b, rows=None):
+        if balance_cpb:
+            return rows.reshape(Hb)
         r = jnp.arange(Hb, dtype=jnp.int32)
         if mirror:
             return jnp.where(r < Hb2, b * Hb2 + r,
                              Hh - (b + 1) * Hb2 + (r - Hb2))
         return b * Hb + r
 
-    def band_coords(b):
-        yy = 2.0 * band_rows(b).astype(jnp.float32)
+    def band_coords(b, rows=None):
+        yy = 2.0 * band_rows(b, rows).astype(jnp.float32)
         qcy = jnp.repeat(yy, Wh)
         qcx = jnp.tile(2.0 * jnp.arange(Wh, dtype=jnp.float32), Hb)
         return qcx, qcy
 
-    def quarter_stage(b, camera, params, kill, qcost):
-        qcx, qcy = band_coords(b)
+    def quarter_stage(b, camera, params, kill, qcost, rows=None):
+        qcx, qcy = band_coords(b, rows)
         state, ku, iquat = pipeline._init_rays(
             metric, camera, params, settings, features, qcx, qcy, kill)
         f_in_x = jnp.abs(state.velocity[:, 0])
@@ -164,8 +181,8 @@ def _adaptive_band_stages(metric: Metric, settings, features, Hb: int,
         ).astype(jnp.float32).reshape(-1)
         return qr, qcost_exact
 
-    def refine_stage(b, camera, params, qr, qcost_exact):
-        qcx, qcy = band_coords(b)
+    def refine_stage(b, camera, params, qr, qcost_exact, rows=None):
+        qcx, qcy = band_coords(b, rows)
         qg = pipeline.RenderData(
             *(f.reshape((Hb, Wh) + f.shape[1:]) for f in qr))
         should, sel, dest = pipeline._select_refine_blocks(qg, settings, k,
@@ -196,8 +213,72 @@ def _adaptive_band_stages(metric: Metric, settings, features, Hb: int,
     return quarter_stage, refine_stage, finish_stage
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("Hh", "Wh", "n_bands", "cpb"))
+def _cost_band_layout(kill_full, cost_full, Hh: int, Wh: int,
+                      n_bands: int, cpb: int):
+    """Per-frame cost-balanced chunk-to-band assignment.
+
+    Round-5 verdict (BENCH_NOTES): on the flagship frame this ships as an
+    OPT-IN — the corrected band-tax measurement (jitted per-band sync)
+    shows static contiguous bands are already ~x1.04 balanced at x8, and
+    this partition's extra seam must-refine rows + layout program measure
+    x1.115 total inflation vs contiguous x1.027.  Use it for scenes whose
+    prepass cost map is genuinely row-skewed.
+
+    Splits the ``Hh`` quarter rows into ``n_bands * cpb`` contiguous
+    chunks, prices each chunk by the prepass step-cost map (already on
+    device — no host round trip), and assigns chunks to bands by greedy
+    LPT under a fixed per-band capacity of ``cpb`` chunks — every band
+    gets EXACTLY ``Hh / n_bands`` rows, so all downstream shapes stay
+    static and one compiled program serves every frame's assignment.
+
+    Returns ``(kill_perm, cost_perm, row_map, inv_fullres)``: the prepass
+    maps permuted to band-major order (so the existing static per-band
+    slicing / P(axis) sharding applies unchanged), the per-band quarter-
+    row indices ``(n_bands, Hh/n_bands)``, and the full-res row gather
+    that stitches the band-major output image back to image order.
+    """
+    C = n_bands * cpb
+    Hc = Hh // C
+    chunk_cost = cost_full.reshape(C, Hc * Wh).sum(axis=1)
+    order = jnp.argsort(-chunk_cost)
+
+    def body(i, carry):
+        load, count, assign = carry
+        c = order[i]
+        # Least-loaded band that still has chunk capacity.
+        masked = jnp.where(count < cpb, load, jnp.inf)
+        b = jnp.argmin(masked).astype(jnp.int32)
+        return (load.at[b].add(chunk_cost[c]),
+                count.at[b].add(1),
+                assign.at[c].set(b))
+
+    _, _, assign = jax.lax.fori_loop(
+        0, C, body,
+        (jnp.zeros((n_bands,), jnp.float32),
+         jnp.zeros((n_bands,), jnp.int32),
+         jnp.zeros((C,), jnp.int32)))
+    # Band-major chunk list, ascending chunk id within each band (argsort
+    # is stable, so equal band keys keep image order — image-adjacent
+    # chunks in one band stay adjacent).
+    band_chunks = jnp.argsort(assign * C + jnp.arange(C)).reshape(
+        n_bands, cpb).astype(jnp.int32)
+    row_map = (band_chunks[:, :, None] * Hc
+               + jnp.arange(Hc, dtype=jnp.int32)).reshape(n_bands, cpb * Hc)
+    rows_flat = row_map.reshape(-1)
+    kill_perm = kill_full.reshape(Hh, Wh)[rows_flat].reshape(-1)
+    cost_perm = cost_full.reshape(Hh, Wh)[rows_flat].reshape(-1)
+    # Banded full-res rows 2i, 2i+1 show image rows 2*rows_flat[i](+1).
+    full_order = jnp.stack([2 * rows_flat, 2 * rows_flat + 1],
+                           axis=1).reshape(-1)
+    inv_fullres = jnp.argsort(full_order).astype(jnp.int32)
+    return kill_perm, cost_perm, row_map, inv_fullres
+
+
 def _band_setup(metric: Metric, camera: cam.Camera, params, settings,
-                features, n_bands: int, mirror: bool | None = None):
+                features, n_bands: int, mirror: bool | None = None,
+                balance: int | None = None):
     """Shared per-frame setup for the band-decomposed adaptive pipeline:
     band geometry, per-band refine budget, slim trace options, and the
     once-per-frame global prepass maps (or flat defaults)."""
@@ -257,6 +338,19 @@ def _band_setup(metric: Metric, camera: cam.Camera, params, settings,
             f"(n_bands={n_bands}, Hb={Hb})"
         )
     mirror = bool(mirror)
+    if balance:
+        if mirror:
+            raise ValueError("balance and mirror are mutually exclusive")
+        if n_bands > 1:
+            if Hb % balance:
+                raise ValueError(
+                    f"balance={balance} chunks/band must divide the band "
+                    f"height ({Hb} quarter rows)")
+            kill_full, cost_full, row_map, inv_fullres = _cost_band_layout(
+                kill_full, cost_full, Hh, Wh, n_bands, balance)
+            return (Wh, Hb, k, band_settings, opts, kill_full, cost_full,
+                    Hh, mirror, inv_fullres, row_map)
+        balance = None  # 1 band: nothing to balance
     inv_fullres = None
     if mirror:
         Hb2 = Hb // 2
@@ -274,14 +368,15 @@ def _band_setup(metric: Metric, camera: cam.Camera, params, settings,
         full_order = np.stack([2 * order, 2 * order + 1], axis=1).reshape(-1)
         inv_fullres = jnp.asarray(np.argsort(full_order), jnp.int32)
     return (Wh, Hb, k, band_settings, opts, kill_full, cost_full, Hh,
-            mirror, inv_fullres)
+            mirror, inv_fullres, None)
 
 
 def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
                            params, backgrounds: bg.Background,
                            settings: pipeline.RenderSettings,
                            features: Features | None = None,
-                           mirror: bool | None = None) -> Array:
+                           mirror: bool | None = None,
+                           balance: int | None = None) -> Array:
     """The PRODUCTION adaptive pipeline (prepass + quarter trace + budgeted
     refinement + traced-only shading) sharded over quarter-row bands.
 
@@ -332,18 +427,29 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     (Wh, Hb, k, band_settings, opts, kill_full, cost_full, Hh, mirror,
-     inv_fullres) = _band_setup(metric, camera, params, settings, features,
-                                n_dev, mirror)
+     inv_fullres, row_map) = _band_setup(metric, camera, params, settings,
+                                         features, n_dev, mirror, balance)
+    dyn = row_map is not None
     q_band, r_band, f_band = _adaptive_band_stages(
         metric, settings, features, Hb, Wh, k, band_settings, opts, Hh,
-        mirror)
+        mirror, balance_cpb=(balance or 0) if dyn else 0)
 
-    def quarter_stage(camera, params, kill, qcost):
-        return q_band(jax.lax.axis_index(axis), camera, params, kill, qcost)
+    if dyn:
+        def quarter_stage(camera, params, kill, qcost, rows):
+            return q_band(jax.lax.axis_index(axis), camera, params, kill,
+                          qcost, rows)
 
-    def refine_stage(camera, params, qr, qcost_exact):
-        return r_band(jax.lax.axis_index(axis), camera, params, qr,
-                      qcost_exact)
+        def refine_stage(camera, params, qr, qcost_exact, rows):
+            return r_band(jax.lax.axis_index(axis), camera, params, qr,
+                          qcost_exact, rows)
+    else:
+        def quarter_stage(camera, params, kill, qcost):
+            return q_band(jax.lax.axis_index(axis), camera, params, kill,
+                          qcost)
+
+        def refine_stage(camera, params, qr, qcost_exact):
+            return r_band(jax.lax.axis_index(axis), camera, params, qr,
+                          qcost_exact)
 
     finish_stage = f_band
 
@@ -354,7 +460,7 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
     # interactive path swaps metrics freely and the programs pin compiled
     # executables.
     ckey = (id(metric), metric.name, mesh, settings, k, mirror,
-            tuple(float(v) for v in features))
+            balance if dyn else None, tuple(float(v) for v in features))
     progs = _ADAPTIVE_PROGRAMS.get(ckey)
     if progs is None:
         if len(_ADAPTIVE_PROGRAMS) >= _ADAPTIVE_PROGRAMS_CAP:
@@ -366,22 +472,25 @@ def sharded_adaptive_frame(metric: Metric, mesh: Mesh, camera: cam.Camera,
             return jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
                                      out_specs=P(axis), check_vma=False))
 
+        rows_spec = (P(axis),) if dyn else ()
         progs = (
-            smap(quarter_stage, (P(), P(), P(axis), P(axis))),
-            smap(refine_stage, (P(), P(), P(axis), P(axis))),
+            smap(quarter_stage, (P(), P(), P(axis), P(axis)) + rows_spec),
+            smap(refine_stage, (P(), P(), P(axis), P(axis)) + rows_spec),
             smap(finish_stage,
                  (P(),) + (P(axis),) * 7 + (P(),)),
         )
         _ADAPTIVE_PROGRAMS[ckey] = progs
     q_prog, r_prog, f_prog = progs
 
-    qr, qcost_exact = q_prog(camera, params, kill_full, cost_full)
+    rows_arg = (row_map,) if dyn else ()
+    qr, qcost_exact = q_prog(camera, params, kill_full, cost_full,
+                             *rows_arg)
     rfin, rku, riquat, should, sel, dest = r_prog(
-        camera, params, qr, qcost_exact)
+        camera, params, qr, qcost_exact, *rows_arg)
     img = f_prog(params, rfin, rku, riquat, qr, should, sel, dest,
                  backgrounds)
     if inv_fullres is not None:
-        # Band-major rows -> image rows (mirrored half-band layout).
+        # Band-major rows -> image rows (mirror / cost-balanced layouts).
         img = img[inv_fullres]
     return img
 
@@ -392,7 +501,8 @@ def banded_adaptive_frame(metric: Metric, camera: cam.Camera, params,
                           n_bands: int,
                           features: Features | None = None,
                           band_sync=None,
-                          mirror: bool | None = None) -> Array:
+                          mirror: bool | None = None,
+                          balance: int | None = None) -> Array:
     """The production adaptive pipeline run as ``n_bands`` sequential
     band-local program chains on ONE device — the exact band decomposition
     ``sharded_adaptive_frame`` distributes over a mesh (the stage code is
@@ -413,19 +523,20 @@ def banded_adaptive_frame(metric: Metric, camera: cam.Camera, params,
     if features is None:
         features = Features.for_metric(metric)
     (Wh, Hb, k, band_settings, opts, kill_full, cost_full, Hh, mirror,
-     inv_fullres) = _band_setup(metric, camera, params, settings, features,
-                                n_bands, mirror)
+     inv_fullres, row_map) = _band_setup(metric, camera, params, settings,
+                                         features, n_bands, mirror, balance)
+    dyn = row_map is not None
     nqb = Wh * Hb
 
     ckey = ("banded", id(metric), metric.name, n_bands, settings, k, mirror,
-            tuple(float(v) for v in features))
+            balance if dyn else None, tuple(float(v) for v in features))
     progs = _ADAPTIVE_PROGRAMS.get(ckey)
     if progs is None:
         if len(_ADAPTIVE_PROGRAMS) >= _ADAPTIVE_PROGRAMS_CAP:
             _ADAPTIVE_PROGRAMS.pop(next(iter(_ADAPTIVE_PROGRAMS)))
         q_band, r_band, f_band = _adaptive_band_stages(
             metric, settings, features, Hb, Wh, k, band_settings, opts, Hh,
-            mirror)
+            mirror, balance_cpb=(balance or 0) if dyn else 0)
         progs = (jax.jit(q_band), jax.jit(r_band), jax.jit(f_band))
         _ADAPTIVE_PROGRAMS[ckey] = progs
     q_prog, r_prog, f_prog = progs
@@ -435,9 +546,10 @@ def banded_adaptive_frame(metric: Metric, camera: cam.Camera, params,
         bi = jnp.int32(b)
         kb = jax.lax.slice_in_dim(kill_full, b * nqb, (b + 1) * nqb)
         cb = jax.lax.slice_in_dim(cost_full, b * nqb, (b + 1) * nqb)
-        qr, qcost_exact = q_prog(bi, camera, params, kb, cb)
+        rows_arg = (row_map[b],) if dyn else ()
+        qr, qcost_exact = q_prog(bi, camera, params, kb, cb, *rows_arg)
         rfin, rku, riquat, should, sel, dest = r_prog(
-            bi, camera, params, qr, qcost_exact)
+            bi, camera, params, qr, qcost_exact, *rows_arg)
         img = f_prog(params, rfin, rku, riquat, qr, should, sel, dest,
                      backgrounds)
         if band_sync is not None:

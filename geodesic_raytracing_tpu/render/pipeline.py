@@ -711,11 +711,21 @@ def _adaptive_trace(metric: Metric, camera: cam.Camera, params,
     prev_q = controller.qsteps if controller is not None else None
     prev_r = controller.rsteps if controller is not None else None
     prev_term = controller.qterm if reuse else None
-    state, ku, iquat, f_in_x, qcost = _quarter_setup_jit(
-        metric, camera, params, settings, features, dead, psteps, prev_q,
-        prev_term)
-    state = _trace_phases(metric, state, params, settings, features, qcost,
-                          f_in_x)
+    # Fused setup+trace programs (pallas, single phase): 4 host-chained
+    # programs become 2 — see _quarter_setup_trace_jit.
+    fuse = (settings.trace.fuse_setup
+            and settings.trace.method == "pallas"
+            and not settings.trace.compaction)
+    if fuse:
+        state, ku, iquat = _quarter_setup_trace_jit(
+            metric, camera, params, settings, features, dead, psteps,
+            prev_q, prev_term)
+    else:
+        state, ku, iquat, f_in_x, qcost = _quarter_setup_jit(
+            metric, camera, params, settings, features, dead, psteps, prev_q,
+            prev_term)
+        state = _trace_phases(metric, state, params, settings, features,
+                              qcost, f_in_x)
 
     frac = settings.refine_budget
     if controller is not None:
@@ -724,17 +734,24 @@ def _adaptive_trace(metric: Metric, camera: cam.Camera, params,
         k = nq
     else:
         k = max(min(nq, 1024), (int(nq * frac) // 8) * 8)
-    (qr, should, demand, sel, dest, rstate, rku, riquat, rf_in_x,
-     rcost) = _refine_setup_jit(metric, camera, params, settings, features,
-                                state, ku, iquat, k, prev_r,
-                                exact_keys=reuse)
+    if fuse:
+        (qr, should, demand, sel, dest, rstate, rku,
+         riquat) = _refine_setup_trace_jit(
+            metric, camera, params, settings, features, state, ku, iquat, k,
+            prev_r, exact_keys=reuse)
+    else:
+        (qr, should, demand, sel, dest, rstate, rku, riquat, rf_in_x,
+         rcost) = _refine_setup_jit(metric, camera, params, settings,
+                                    features, state, ku, iquat, k, prev_r,
+                                    exact_keys=reuse)
     if controller is not None:
         controller.observe(demand)
         controller.qsteps = qr.steps
         controller.qterm = qr.terminated
         controller.stream_key = key
-    rstate = _trace_phases(metric, rstate, params, settings, features, rcost,
-                           rf_in_x)
+    if not fuse:
+        rstate = _trace_phases(metric, rstate, params, settings, features,
+                               rcost, rf_in_x)
     return qr, should, sel, dest, rstate, rku, riquat, k
 
 
@@ -859,6 +876,59 @@ def _quarter_setup_jit(metric: Metric, camera: cam.Camera, params,
                                   qcx, qcy, kill)
     f_in_x = jnp.abs(state.velocity[:, 0])
     return state, ku, iquat, f_in_x, qcost
+
+
+def _single_phase_trace(metric: Metric, state, params,
+                        settings: RenderSettings, features: Features,
+                        cost, f_in_x):
+    """The single-phase pallas trace exactly as :func:`_trace_phases` would
+    run it (fresh slim pack in, slim state out) — inlined by the fused
+    setup+trace programs below."""
+    opts = settings.trace
+    popts = dataclasses.replace(
+        opts, compaction=(), planar=_planar_enabled(metric, settings),
+        fresh_pack=True, slim_out=True)
+    return integrate.trace_rays(metric, state, params, features=features,
+                                opts=popts, sort_key=cost, f_in_x=f_in_x)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "settings"))
+def _quarter_setup_trace_jit(metric: Metric, camera: cam.Camera, params,
+                             settings: RenderSettings, features: Features,
+                             dead: Array | None, psteps: Array | None,
+                             prev_qsteps: Array | None = None,
+                             prev_qterm: Array | None = None):
+    """Quarter setup fused with the quarter trace: ONE host-chained program
+    instead of two (~1.5-2 ms of per-program issue latency each over the
+    ~105 ms axon tunnel — the measured ~11 ms/frame host gap, BENCH_NOTES
+    round-4 roofline), still exactly one Mosaic kernel per program (the
+    remote-compile constraint is on >= 2 Mosaic kernels per program; the
+    banded stages in parallel/mesh have always compiled this shape on the
+    real chip).  Pallas single-phase only — see ``TraceOptions.fuse_setup``."""
+    state, ku, iquat, f_in_x, qcost = _quarter_setup_jit(
+        metric, camera, params, settings, features, dead, psteps,
+        prev_qsteps, prev_qterm)
+    state = _single_phase_trace(metric, state, params, settings, features,
+                                qcost, f_in_x)
+    return state, ku, iquat
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "settings", "k", "exact_keys"))
+def _refine_setup_trace_jit(metric: Metric, camera: cam.Camera, params,
+                            settings: RenderSettings, features: Features,
+                            qstate, qku, qiquat, k: int,
+                            prev_rsteps: Array | None = None,
+                            exact_keys: bool = False):
+    """Refine setup fused with the refine trace (see
+    :func:`_quarter_setup_trace_jit`)."""
+    (qr, should, demand, sel, dest, rstate, rku, riquat, rf_in_x,
+     rcost) = _refine_setup_jit(metric, camera, params, settings, features,
+                                qstate, qku, qiquat, k, prev_rsteps,
+                                exact_keys)
+    rstate = _single_phase_trace(metric, rstate, params, settings, features,
+                                 rcost, rf_in_x)
+    return qr, should, demand, sel, dest, rstate, rku, riquat
 
 
 _REFINE_OFFSETS = ((1, 0), (0, 1), (1, 1))

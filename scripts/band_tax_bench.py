@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--bands", default="1,2,4,8")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1088)
+    ap.add_argument("--balance", type=int, default=0, metavar="CPB",
+                    help="dynamic cost-balanced bands with CPB chunks per "
+                         "band (0 = static contiguous bands)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -56,6 +59,12 @@ def main() -> int:
     W, H = args.width, args.height
     band_list = [int(b) for b in args.bands.split(",")]
     metric, params, camera, settings, features = flagship_config(W, H)
+    if args.cpu:
+        # Pallas needs the TPU backend; --cpu is a smoke-test mode.
+        import dataclasses as _dc
+
+        settings = _dc.replace(
+            settings, trace=_dc.replace(settings.trace, method="while"))
     backgrounds = bg.checker_background()
     n_rays = W * H
 
@@ -89,12 +98,15 @@ def main() -> int:
                              features),
         "unbanded render_frame")
 
+    bal = args.balance or None
+    tag = f" bal{bal}" if bal else ""
     results = {}
     for nb in band_list:
         t = timed(
             lambda nb=nb: banded_adaptive_frame(
-                metric, camera, params, backgrounds, settings, nb, features),
-            f"banded x{nb}")
+                metric, camera, params, backgrounds, settings, nb, features,
+                balance=bal),
+            f"banded x{nb}{tag}")
         results[nb] = t
 
     # Per-band times (sync per band; each sync adds ~20-25 ms of fixed axon
@@ -114,7 +126,7 @@ def main() -> int:
             t0 = time.perf_counter()
             banded_adaptive_frame(metric, camera, params, backgrounds,
                                   settings, nb, features,
-                                  band_sync=band_sync)
+                                  band_sync=band_sync, balance=bal)
             per_band.append(np.diff([t0] + stamps))
         pb = np.median(np.stack(per_band), axis=0)
         share = pb / pb.sum()

@@ -41,6 +41,9 @@ def main() -> int:
                     "item 4): --budgets sweeps the OBJECT-segment budget")
     ap.add_argument("--patch-budget", type=int, default=8)
     ap.add_argument("--chunk-budget", type=int, default=None)
+    ap.add_argument("--stage", type=int, default=3,
+                    help="grouped cost decomposition: 0 binning, 1 +object "
+                    "solve/sphere, 2 +patch cull, 3 full (default)")
     args = ap.parse_args()
 
     import jax
@@ -128,7 +131,8 @@ def main() -> int:
                 return intersect_scene_grouped(
                     m, p_slab, scene, geos, params, block=block,
                     obj_budget=budget, chunk_budget=args.chunk_budget,
-                    patch_budget=args.patch_budget, with_stats=True)
+                    patch_budget=args.patch_budget, with_stats=True,
+                    stage=args.stage)
             return intersect_scene_binned(
                 m, p_slab, scene, geos, params, block=block,
                 budget=budget, with_stats=True)
@@ -155,11 +159,17 @@ def main() -> int:
         # carry a small padded-ray overcount — bounded by slab/N per slab).
         n_slabs = -(-N // slab)
         n_chunks = n_slabs * (slab // block) * args.segments
+        extra = ""
+        if args.grouped:
+            sp = sum(float(np.asarray(o[2]["sphere_pass"])) for o in outs)
+            pp = sum(float(np.asarray(o[2]["patch_pass"])) for o in outs)
+            extra = (f", sphere_pass {sp:.3g}, patch_pass {pp:.3g} "
+                     f"(stage {args.stage})")
         print(f"budget {budget:4d}: {N/1e6/dt:6.3f} Mrays/s "
               f"({dt:.2f}s intersect, first call incl. compile), "
               f"hits {hit_total}, dropped {dropped} "
               f"({dropped/max(n_chunks,1):.2f}/chunk avg over {n_chunks} "
-              f"chunks), max_overlap {max_ov}", flush=True)
+              f"chunks), max_overlap {max_ov}{extra}", flush=True)
         # steady-state: second pass without compile
         t0 = time.perf_counter()
         outs = []

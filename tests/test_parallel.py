@@ -217,6 +217,107 @@ def test_banded_adaptive_frame_matches_sharded():
     np.testing.assert_array_equal(banded, sharded)
 
 
+def test_cost_band_layout_properties():
+    """_cost_band_layout: every band gets exactly cpb chunks (static
+    shapes), the rows partition [0, Hh), the stitch permutation inverts,
+    and the greedy-LPT max band cost never exceeds the static contiguous
+    partition's max band cost."""
+    from geodesic_raytracing_tpu.parallel.mesh import _cost_band_layout
+
+    rng = np.random.default_rng(7)
+    Hh, Wh, B, cpb = 32, 4, 8, 2
+    # Skewed cost field (hot middle rows, like a centred black hole).
+    # ~3x row-cost skew, matching the measured flagship frame (BENCH_NOTES
+    # round-4 band tax: max band share 0.157 vs 0.125).  A steeper field
+    # is chunk-granularity-limited, not algorithm-limited.
+    row_cost = (1.0 + 2.0 * np.exp(-((np.arange(Hh) - 14.0) / 8.0) ** 2)
+                + rng.uniform(0, 0.5, Hh)).astype(np.float32)
+    cost = jnp.asarray(np.repeat(row_cost / Wh, Wh))
+    kill = jnp.asarray(rng.uniform(size=Hh * Wh) < 0.3)
+
+    kill_p, cost_p, row_map, inv_fullres = _cost_band_layout(
+        kill, cost, Hh, Wh, B, cpb)
+    rows = np.asarray(row_map)
+    assert rows.shape == (B, Hh // B)
+    # Partition of [0, Hh).
+    assert sorted(rows.reshape(-1).tolist()) == list(range(Hh))
+    # Each band = cpb contiguous chunks.
+    Hc = Hh // (B * cpb)
+    for b in range(B):
+        r = rows[b].reshape(cpb, Hc)
+        assert all((np.diff(chunk) == 1).all() and chunk[0] % Hc == 0
+                   for chunk in r)
+    # Permuted maps match a gather of the originals.
+    np.testing.assert_array_equal(
+        np.asarray(kill_p).reshape(-1, Wh),
+        np.asarray(kill).reshape(Hh, Wh)[rows.reshape(-1)])
+    np.testing.assert_array_equal(
+        np.asarray(cost_p).reshape(-1, Wh),
+        np.asarray(cost).reshape(Hh, Wh)[rows.reshape(-1)])
+    # Stitch inverts: band-major full-res rows -> image order.
+    full_order = np.stack([2 * rows.reshape(-1),
+                           2 * rows.reshape(-1) + 1], 1).reshape(-1)
+    np.testing.assert_array_equal(
+        full_order[np.asarray(inv_fullres)], np.arange(2 * Hh))
+    # Balance beats the static contiguous partition on this skewed field.
+    band_cost = row_cost[rows].sum(axis=1)
+    contig_cost = row_cost.reshape(B, Hh // B).sum(axis=1)
+    assert band_cost.max() <= contig_cost.max() + 1e-4
+    # And is near the ideal equal split on this field.
+    assert band_cost.max() / (row_cost.sum() / B) < 1.25
+
+
+def test_cost_balanced_banded_frame_matches_sharded_and_single():
+    """Dynamic cost-balanced bands: banded (sequential, explicit b) must
+    equal sharded (shard_map, axis_index) EXACTLY — shared stage programs
+    — and both must match the single-device frame away from chunk
+    boundary rows (boundary rows are must-refine seams: traced where the
+    single-device frame may interpolate)."""
+    from conftest import tier
+
+    from geodesic_raytracing_tpu.parallel.mesh import (
+        banded_adaptive_frame,
+        sharded_adaptive_frame,
+    )
+    from geodesic_raytracing_tpu.render import pipeline as pl
+
+    size = 64
+    n_bands, cpb = 2, 2      # Hh=32 -> Hb=16, chunks of 8 quarter rows
+    max_steps = tier(256, 1024)
+    m = metrics.get_metric("kerr_boyer")
+    camera = Camera.default().rotate(pitch=-np.pi / 2)
+    backgrounds = bg.checker_background(64, 128)
+    settings = RenderSettings(
+        width=size, height=size, anisotropy=2, adaptive_sampling=True,
+        refine_budget=1.0, shade_traced_only=True,
+        trace=TraceOptions(max_steps=max_steps, method="while"),
+    )
+    feats = Features.for_metric(m)
+    single = np.asarray(pl.render_frame(m, camera, m.params(), backgrounds,
+                                        settings, feats))
+    banded = np.asarray(banded_adaptive_frame(
+        m, camera, m.params(), backgrounds, settings, n_bands, feats,
+        balance=cpb))
+    mesh = ray_mesh(jax.devices()[:n_bands])
+    sharded = np.asarray(sharded_adaptive_frame(
+        m, mesh, camera, m.params(), backgrounds, settings, feats,
+        balance=cpb))
+    np.testing.assert_array_equal(banded, sharded)
+
+    assert banded.shape == single.shape
+    assert np.isfinite(banded).all()
+    d = np.abs(single - banded).max(axis=-1)
+    # Chunk = 8 quarter rows = 16 full-res rows; chunk tops/bottoms (2
+    # full-res rows each) are the seam/boundary set.
+    chunk = 16
+    interior = np.ones(size, bool)
+    for c0 in range(0, size, chunk):
+        interior[c0:c0 + 2] = False
+        interior[c0 + chunk - 2:c0 + chunk] = False
+    assert (d[interior] > 0.05).mean() < 0.02, (d[interior] > 0.05).mean()
+    assert (d > 0.1).mean() < 0.2, (d > 0.1).mean()
+
+
 def test_mirrored_banded_frame_matches_single_device():
     """Mirrored half-bands (cost balancing): band b covers a top chunk and
     its mirrored bottom chunk; seam/boundary rows are must-refine, so away
