@@ -39,11 +39,17 @@ def main() -> int:
     ap.add_argument("--grouped", action="store_true",
                     help="two-level object/patch intersector (VERDICT r3 "
                     "item 4): --budgets sweeps the OBJECT-segment budget")
+    ap.add_argument("--compact", action="store_true",
+                    help="worklist-compacted two-level intersector "
+                    "(round 5): sphere-prefiltered pair/patch worklists")
+    ap.add_argument("--pair-budget", type=int, default=1 << 17)
+    ap.add_argument("--tri-budget", type=int, default=1 << 18)
     ap.add_argument("--patch-budget", type=int, default=8)
     ap.add_argument("--chunk-budget", type=int, default=None)
-    ap.add_argument("--stage", type=int, default=3,
-                    help="grouped cost decomposition: 0 binning, 1 +object "
-                    "solve/sphere, 2 +patch cull, 3 full (default)")
+    ap.add_argument("--stage", default="3",
+                    help="grouped cost decomposition, comma list of "
+                    "0 binning, 1 +object solve/sphere, 2 +patch cull, "
+                    "3 full (default)")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +68,7 @@ def main() -> int:
         TriangleScene, make_cube, precompute_object, subtriangulate)
     from geodesic_raytracing_tpu.triangles.render import (
         build_swept_triangles, intersect_scene_binned,
-        intersect_scene_grouped)
+        intersect_scene_compact, intersect_scene_grouped)
 
     m = metrics.get_metric("schwarzschild")
     params = m.params()
@@ -122,9 +128,17 @@ def main() -> int:
     block = 256
     slab = args.slab_blocks * block
 
-    for budget in [int(b) for b in args.budgets.split(",")]:
+    stages = [int(v) for v in str(args.stage).split(",")]
+    for budget, stage in [(b, st)
+                          for b in [int(v) for v in args.budgets.split(",")]
+                          for st in stages]:
 
-        def run_slab(p_slab):
+        def run_slab(p_slab, budget=budget, stage=stage):
+            if args.compact:
+                return intersect_scene_compact(
+                    m, p_slab, scene, geos, params, block=block,
+                    obj_budget=budget, pair_budget=args.pair_budget,
+                    tri_budget=args.tri_budget, with_stats=True)
             if args.grouped:
                 # budget = object-segment entries per chunk; per-triangle
                 # work happens in the object's local frame (patch culling).
@@ -132,7 +146,7 @@ def main() -> int:
                     m, p_slab, scene, geos, params, block=block,
                     obj_budget=budget, chunk_budget=args.chunk_budget,
                     patch_budget=args.patch_budget, with_stats=True,
-                    stage=args.stage)
+                    stage=stage)
             return intersect_scene_binned(
                 m, p_slab, scene, geos, params, block=block,
                 budget=budget, with_stats=True)
@@ -160,11 +174,11 @@ def main() -> int:
         n_slabs = -(-N // slab)
         n_chunks = n_slabs * (slab // block) * args.segments
         extra = ""
-        if args.grouped:
+        if args.grouped or args.compact:
             sp = sum(float(np.asarray(o[2]["sphere_pass"])) for o in outs)
             pp = sum(float(np.asarray(o[2]["patch_pass"])) for o in outs)
             extra = (f", sphere_pass {sp:.3g}, patch_pass {pp:.3g} "
-                     f"(stage {args.stage})")
+                     f"(stage {stage})")
         print(f"budget {budget:4d}: {N/1e6/dt:6.3f} Mrays/s "
               f"({dt:.2f}s intersect, first call incl. compile), "
               f"hits {hit_total}, dropped {dropped} "

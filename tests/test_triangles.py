@@ -242,6 +242,64 @@ def test_grouped_matches_dense():
                                np.asarray(col_g)[both], atol=1e-3)
 
 
+def test_compact_matches_dense_and_grouped():
+    """The worklist-compacted intersector (intersect_scene_compact) must
+    reproduce the dense intersector's hit/miss pattern (same object-level
+    fixed point as grouped; compaction is a reordering, not an
+    approximation) and report zero drops when its budgets cover the
+    survivor counts."""
+    from geodesic_raytracing_tpu.triangles.render import (
+        intersect_scene_compact)
+
+    m = metrics.get_metric("minkowski")
+    params = m.params()
+    feats = Features.for_metric(m)
+
+    cube = make_cube([-40.0, 0.0, 0.0, 0.0], scale=1.0)
+    geo = precompute_object(m, cube, params, feats, n_steps=256, segments=16)
+    cube2 = make_cube([-40.0, 0.0, 2.0, 0.0], scale=0.8)
+    geo2 = precompute_object(m, cube2, params, feats, n_steps=256,
+                             segments=16)
+    scene = TriangleScene.build([cube, cube2])
+
+    n = 16
+    offsets = np.linspace(-1.0, 3.0, n)
+    pos = np.tile([0.0, -7.0, 0.0, 0.0], (n, 1)).astype(np.float32)
+    dirs = np.stack([np.full(n, 7.0), offsets, np.zeros(n)], -1)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    vel = np.concatenate([-np.ones((n, 1)), dirs], axis=1).astype(np.float32)
+    st = init_ray_state(m, jnp.asarray(pos), jnp.asarray(vel), params, feats)
+
+    common = dict(features=feats, opts=TraceOptions(max_steps=512),
+                  n_slots=8, steps_per_slot=32)
+    _, hit_d, col_d = render_triangles(m, st, params, scene, [geo, geo2],
+                                       **common)
+    _, hit_c, col_c = render_triangles(m, st, params, scene, [geo, geo2],
+                                       compact=True, block=8, budget=16,
+                                       **common)
+    _, hit_g, col_g = render_triangles(m, st, params, scene, [geo, geo2],
+                                       grouped=True, block=8, budget=16,
+                                       **common)
+    hit_d, hit_c = np.asarray(hit_d), np.asarray(hit_c)
+    assert hit_d.any()
+    np.testing.assert_array_equal(hit_d, hit_c)
+    np.testing.assert_array_equal(np.asarray(hit_g), hit_c)
+    both = hit_d & hit_c
+    np.testing.assert_allclose(np.asarray(col_d)[both],
+                               np.asarray(col_c)[both], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(col_g)[both],
+                               np.asarray(col_c)[both], atol=1e-5)
+
+    # Budgets cover this scene -> zero drops reported.
+    from geodesic_raytracing_tpu.ops.integrate import trace_rays_recorded
+    _, path = trace_rays_recorded(m, st, params, **common)
+    _, _, stats = intersect_scene_compact(
+        m, path, scene, [geo, geo2], params, block=8, obj_budget=16,
+        with_stats=True)
+    assert float(stats["dropped"]) == 0.0
+    assert float(stats["sphere_pass"]) > 0
+
+
 def test_grouped_overflow_counters():
     """intersect_scene_grouped with_stats reports candidate/chunk drops."""
     from geodesic_raytracing_tpu.triangles.render import (
