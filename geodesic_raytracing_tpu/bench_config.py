@@ -34,8 +34,13 @@ def production_trace(max_steps: int = 16384):
     if fuse_env is not None and not fuse:
         print("[bench_config] GRT_FUSE_SETUP=0: setup stages dispatched as "
               "separate programs (A/B mode)")
+    cse_env = os.environ.get("GRT_STEP_CSE")
+    scse = bool(int(cse_env)) if cse_env is not None else True
+    if cse_env is not None and not scse:
+        print("[bench_config] GRT_STEP_CSE=0: kernel step CSE off (A/B)")
     return TraceOptions(max_steps=max_steps, method="pallas", tile=2048,
-                        check_every=16, queue_depth=qd, fuse_setup=fuse)
+                        check_every=16, queue_depth=qd, fuse_setup=fuse,
+                        step_cse=scse)
 
 
 # Demand-matched EWA probe schedules — see the comment in flagship_config.

@@ -125,6 +125,14 @@ class TraceOptions:
     # (acceleration / next_ds unused post-trace).  Final phases only: a
     # chained phase needs the full state.
     slim_out: bool = False
+    # Trace-level CSE of the integrator step inside the Pallas kernel
+    # (ops.cse — the reference's $pin analogue): the JVP partial sweeps
+    # duplicate shared primal chains in the step jaxpr (double_kerr: 17%
+    # of equations; scripts/dk_opcount.py) and Mosaic consumes the jaxpr
+    # directly.  Bit-exact by construction; Pallas path only (the
+    # transform inlines custom-JVP bodies, so the differentiable
+    # scan/while paths keep the raw step).
+    step_cse: bool = True
     # Fuse the pipeline's setup program into its adjacent trace program
     # (pallas, single-phase only): 2 host-chained programs become 1 —
     # each still holds exactly ONE Mosaic kernel (the constraint is >= 2

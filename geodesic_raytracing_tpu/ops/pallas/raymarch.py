@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...metrics.base import Metric
+from .. import cse
 from .. import integrate
 from ..integrate import Features, RayState, TraceOptions, _StateT
 
@@ -326,6 +327,8 @@ def launch(metric: Metric, packed, params, features: Features,
             # blk: (rows_in, 8, lanes) — one tile's packed state.
             st0, fx = load_state(blk)
             step = integrate.make_step_fn(metric, kfeatures, opts, fx)
+            if opts.step_cse:
+                step = cse.cse(step)
 
             # The any(active) exit test is a cross-lane reduction; checking
             # it every CHECK_EVERY steps amortises its cost (terminated rays
@@ -445,6 +448,8 @@ def launch(metric: Metric, packed, params, features: Features,
             def body(carry):
                 i, c, s_at, fx, st = carry
                 step = integrate.make_step_fn(metric, kfeatures, opts, fx)
+                if opts.step_cse:
+                    step = cse.cse(step)
                 st = jax.lax.fori_loop(
                     0, CHECK_EVERY, lambda _, ss: step(ss, kparams), st,
                     unroll=CHECK_EVERY if int(opts.unroll) > 1 else 1,

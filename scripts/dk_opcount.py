@@ -56,9 +56,49 @@ def jaxpr_hist(closed) -> Counter:
     return hist
 
 
+def jaxpr_cse_duplicates(closed) -> tuple[Counter, int]:
+    """Value-number the (flat) jaxpr: count equations whose
+    (primitive, params, operand value-numbers) already occurred — the
+    duplicates a ``$pin``-style CSE would remove.  Sub-jaxprs (pjit
+    wrappers) are treated as opaque (counted but not inlined)."""
+    ids: dict = {}
+    nextid = [0]
+
+    def vid(v):
+        from jax.extend.core import Literal
+
+        if isinstance(v, Literal):
+            return ("lit", repr(v.val))
+        if v not in ids:
+            ids[v] = nextid[0]
+            nextid[0] += 1
+        return ids[v]
+
+    seen: dict = {}
+    dups: Counter = Counter()
+    total_dup = 0
+    for eq in closed.jaxpr.eqns:
+        key = (eq.primitive.name,
+               tuple(sorted((k, repr(v)) for k, v in eq.params.items())),
+               tuple(vid(v) for v in eq.invars))
+        if key in seen and not eq.primitive.multiple_results:
+            dups[eq.primitive.name] += 1
+            total_dup += 1
+            ids[eq.outvars[0]] = seen[key]
+        else:
+            rep = vid(eq.outvars[0]) if not eq.primitive.multiple_results \
+                else tuple(vid(o) for o in eq.outvars)
+            seen[key] = rep
+    return dups, total_dup
+
+
 def hlo_hist(compiled_text: str) -> Counter:
+    """Count retained HLO ops: every instruction line reads
+    ``%name = <type> opname(...)`` where <type> is a single token or a
+    parenthesised tuple."""
     hist: Counter = Counter()
-    for mt in re.finditer(r"= [a-z0-9\[\]{},\s]* ?([a-z-]+)\(", compiled_text):
+    for mt in re.finditer(r"= (?:\([^)]*\)|\S+) ([a-z][a-z-]*)\(",
+                          compiled_text):
         hist[mt.group(1)] += 1
     return hist
 
@@ -80,12 +120,15 @@ def analyze(name: str):
 
     closed = jax.make_jaxpr(f)(pos, vel)
     jh = jaxpr_hist(closed)
+    dups, total_dup = jaxpr_cse_duplicates(closed)
     comp = jax.jit(f).lower(pos, vel).compile()
     hh = hlo_hist(comp.as_text())
 
     print(f"\n== {name} ==")
     print("  jaxpr:", "  ".join(f"{k}={jh.get(k, 0)}" for k in INTERESTING),
           f" total={sum(jh.values())}")
+    print(f"  jaxpr CSE-removable duplicates: {total_dup} "
+          f"({dict(dups.most_common(6))})")
     print("  hlo:  ", "  ".join(
         f"{k}={hh.get('multiply' if k == 'mul' else k, 0)}"
         for k in ("mul", "add", "subtract", "divide", "sqrt", "rsqrt",
