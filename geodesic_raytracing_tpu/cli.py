@@ -82,6 +82,12 @@ def main(argv=None) -> int:
                          "crosses any ray")
     ap.add_argument("--obj", action="append", default=[], metavar="SPEC",
                     help="place an .obj mesh: path,t,x,y,z[,scale]")
+    ap.add_argument("--tri-intersector", default="dense",
+                    choices=("dense", "binned", "grouped", "compact"),
+                    help="triangle intersector: dense (exact, small "
+                         "scenes), binned (reference-style chunk bins), "
+                         "grouped (two-level object/patch), compact "
+                         "(worklist-compacted — dense orbital scenes)")
     ap.add_argument("--dump-hlo", metavar="FILE", default=None,
                     help="write the lowered trace program (the reference's "
                          "argument_string.txt compile-line dump analogue)")
@@ -309,6 +315,9 @@ def main(argv=None) -> int:
             # short segments: the in-segment interpolation misses
             # near-field objects when one slot spans the whole approach
             n_slots=64, steps_per_slot=8,
+            binned=args.tri_intersector == "binned",
+            grouped=args.tri_intersector == "grouped",
+            compact=args.tri_intersector == "compact",
         )
         import jax.numpy as _jnp
 

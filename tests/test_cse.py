@@ -76,6 +76,40 @@ def test_cse_full_step_bit_exact():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=fname)
 
 
+def test_pallas_step_cse_bit_equal():
+    """The Pallas kernel (interpret mode) with step_cse on vs off must be
+    BIT-identical — CSE only reuses values identical equations recompute.
+    (test_integrator's interpret-vs-XLA tests cover cse-on vs the while
+    driver; this pins the flag itself against default flips.)"""
+    import dataclasses
+
+    from geodesic_raytracing_tpu.ops.integrate import (
+        Features, TraceOptions, init_ray_state)
+    from geodesic_raytracing_tpu.ops.pallas.raymarch import trace_rays_pallas
+
+    m = metrics.get_metric("kerr_boyer")
+    params = m.params()
+    n = 32
+    rng = np.random.default_rng(3)
+    ang = np.linspace(0.05, 0.8, n)
+    pos = jnp.asarray(np.tile([0.0, 7.0, np.pi / 2, 0.0],
+                              (n, 1)).astype(np.float32))
+    vel = jnp.asarray(np.stack(
+        [np.ones(n), -np.cos(ang), np.zeros(n), np.sin(ang) / 7.0],
+        -1).astype(np.float32))
+    feats = Features.for_metric(m)
+    st = init_ray_state(m, pos, vel, params, feats)
+    opts = TraceOptions(max_steps=1024, step_cse=True)
+    a = trace_rays_pallas(m, st, params, features=feats, opts=opts,
+                          tile=16, interpret=True)
+    b = trace_rays_pallas(m, st, params, features=feats,
+                          opts=dataclasses.replace(opts, step_cse=False),
+                          tile=16, interpret=True)
+    for fa, fb, fname in zip(a, b, a._fields):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb),
+                                      err_msg=fname)
+
+
 def test_cse_under_jit_and_loop():
     """cse must trace cleanly inside jit + fori_loop (the kernel shape)."""
     m = metrics.get_metric("schwarzschild")
