@@ -44,6 +44,7 @@ def main() -> int:
                     "(round 5): sphere-prefiltered pair/patch worklists")
     ap.add_argument("--pair-budget", type=int, default=1 << 17)
     ap.add_argument("--tri-budget", type=int, default=1 << 18)
+    ap.add_argument("--patch-size", type=int, default=32)
     ap.add_argument("--patch-budget", type=int, default=8)
     ap.add_argument("--chunk-budget", type=int, default=None)
     ap.add_argument("--stage", default="3",
@@ -138,7 +139,8 @@ def main() -> int:
                 return intersect_scene_compact(
                     m, p_slab, scene, geos, params, block=block,
                     obj_budget=budget, pair_budget=args.pair_budget,
-                    tri_budget=args.tri_budget, with_stats=True)
+                    tri_budget=args.tri_budget,
+                    patch_size=args.patch_size, with_stats=True)
             if args.grouped:
                 # budget = object-segment entries per chunk; per-triangle
                 # work happens in the object's local frame (patch culling).
