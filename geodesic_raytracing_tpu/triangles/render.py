@@ -824,7 +824,9 @@ def intersect_scene_compact(metric: Metric, path: Array,
     ``patch_size`` sweep on the 12-cube chip bench (full frame, zero
     drops, identical hits): 16 -> 0.083, 32 -> 0.131, 64 -> 0.171,
     **128 -> 0.204 Mrays/s** (wider contiguous triangle gathers amortise
-    the per-item worklist cost; 256 OOMs the 1M-item phase-C buffers).
+    the per-item worklist cost; 256 OOMs the 1M-item phase-C buffers);
+    the two-level pair nonzero (phase B comment) lifts it to **0.341**
+    (1.52 s/frame, 113x over the dense grouped path).
     """
     periods = metric.periods(params)
     n_obj = len(geos)
@@ -882,10 +884,27 @@ def intersect_scene_compact(metric: Metric, path: Array,
     sphere_pass = jnp.sum(near_all, dtype=jnp.float32)
 
     # --- Phase B: pair compaction + patch culling ----------------------
+    # Two-level nonzero: a flat nonzero over all S*nb*OB*block pair bits
+    # (132 M on the flagship scene) costs ~1 s of cumsum/scan traffic —
+    # 4x the dense solve it postprocesses.  Sphere survivors cluster by
+    # (segment, chunk, candidate) block, so compact non-empty BLOCKS
+    # first (S*nb*OB bits), gather only their ray rows, and run the pair
+    # nonzero over block_budget*block bits (~8x smaller).
     Wp = pair_budget
-    flat = near_all.reshape(-1)
-    (pidx,) = jnp.nonzero(flat, size=Wp, fill_value=0)
-    pvalid = flat[pidx]
+    n_blocks = S * nb * OB
+    blk_any = near_all.reshape(n_blocks, block).any(axis=1)
+    WB = min(max(Wp // 8, 1024), n_blocks)
+    n_nonempty = jnp.sum(blk_any, dtype=jnp.int32)
+    (bidx,) = jnp.nonzero(blk_any, size=WB, fill_value=0)
+    rows_b = near_all.reshape(n_blocks, block)[bidx]       # (WB, block)
+    # Slots past the true non-empty count are fill duplicates of block 0
+    # — zero their bits so they cannot inject duplicate pairs.
+    rows_b = rows_b & (jnp.arange(WB) < n_nonempty)[:, None]
+    kept_pairs = jnp.sum(rows_b, dtype=jnp.float32)
+    (p2,) = jnp.nonzero(rows_b.reshape(-1), size=Wp, fill_value=0)
+    pidx = bidx[(p2 // block).astype(jnp.int32)] * block \
+        + (p2 % block).astype(jnp.int32)
+    pvalid = rows_b.reshape(-1)[p2]
     # Decode (s, chunk, j, ray-in-block) from the flat index.
     per_s = nb * OB * block
     s_of = (pidx // per_s).astype(jnp.int32)
@@ -966,8 +985,10 @@ def intersect_scene_compact(metric: Metric, path: Array,
 
     if with_stats:
         # Budget overflow counts (fill indices may duplicate entry 0, so
-        # count against the budget, not the valid mask).
-        pairs_dropped = jnp.maximum(sphere_pass - Wp, 0.0)
+        # count against the budgets, not the valid mask).  kept_pairs
+        # accounts for the block-level budget WB too: pairs in dropped
+        # blocks never reach the pair nonzero.
+        pairs_dropped = sphere_pass - jnp.minimum(kept_pairs, float(Wp))
         tris_dropped = jnp.maximum(patch_pass - Wt, 0.0)
         return jnp.isfinite(best_key[:n]), colour[:n], {
             "sphere_pass": sphere_pass, "patch_pass": patch_pass,
