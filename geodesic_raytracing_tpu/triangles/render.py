@@ -797,6 +797,7 @@ def intersect_scene_compact(metric: Metric, path: Array,
                             pair_budget: int = 1 << 17,
                             tri_budget: int = 1 << 18,
                             patch_size: int = 128,
+                            patch_slots: int = 8,
                             pad: float = 0.0, with_stats: bool = False):
     """Worklist-compacted two-level intersector (VERDICT r4 weak #3 /
     next #5): the grouped intersector's cost is exact but DENSE — every
@@ -939,11 +940,40 @@ def intersect_scene_compact(metric: Metric, path: Array,
 
     # --- Phase C: (pair, patch) compaction + Moller-Trumbore -----------
     Wt = tri_budget
-    pp_flat = phit.reshape(-1)
-    (tidx,) = jnp.nonzero(pp_flat, size=Wt, fill_value=0)
-    tvalid = pp_flat[tidx]
-    pr_of = (tidx // P).astype(jnp.int32)
-    pa_of = (tidx % P).astype(jnp.int32)
+    if patch_slots:
+        # Per-pair slot extraction (round 5): the flat nonzero over the
+        # (Wp x P) bitmask (49 M bits on the flagship scene) costs ~0.37 s
+        # of cumsum/scatter traffic while survivors average ~2 patches per
+        # pair.  Extract the first ``patch_slots`` set bits per pair with
+        # along-patch rank compares + argmax (pure VPU reductions over the
+        # bitmask it already holds), then run the item nonzero over the
+        # 12x smaller (Wp x K) slot-validity bits.  Valid items keep the
+        # pair-major / patch-ascending enumeration order of the flat
+        # nonzero, so hits (and scatter-min tie resolution) stay
+        # bit-identical whenever no pair overflows its K slots — the
+        # overflow is counted into ``items_dropped`` like every other
+        # budget.
+        K = min(patch_slots, P)
+        rank = jnp.cumsum(phit.astype(jnp.int32), axis=1) - 1   # (Wp, P)
+        slot_pa_l, slot_v_l = [], []
+        for k in range(K):
+            mk = phit & (rank == k)
+            slot_pa_l.append(jnp.argmax(mk, axis=1).astype(jnp.int32))
+            slot_v_l.append(mk.any(axis=1))
+        slot_pa = jnp.stack(slot_pa_l, axis=1)                  # (Wp, K)
+        slot_v = jnp.stack(slot_v_l, axis=1)                    # (Wp, K)
+        kept_items = jnp.sum(slot_v, dtype=jnp.float32)
+        (tidx,) = jnp.nonzero(slot_v.reshape(-1), size=Wt, fill_value=0)
+        tvalid = slot_v.reshape(-1)[tidx]
+        pr_of = (tidx // K).astype(jnp.int32)
+        pa_of = slot_pa[pr_of, (tidx % K).astype(jnp.int32)]
+    else:
+        pp_flat = phit.reshape(-1)
+        (tidx,) = jnp.nonzero(pp_flat, size=Wt, fill_value=0)
+        tvalid = pp_flat[tidx]
+        pr_of = (tidx // P).astype(jnp.int32)
+        pa_of = (tidx % P).astype(jnp.int32)
+        kept_items = patch_pass
 
     o3 = pos_p[pr_of, 1:]
     d3 = dir_p[pr_of, 1:]
@@ -993,7 +1023,9 @@ def intersect_scene_compact(metric: Metric, path: Array,
         # accounts for the block-level budget WB too: pairs in dropped
         # blocks never reach the pair nonzero.
         pairs_dropped = sphere_pass - jnp.minimum(kept_pairs, float(Wp))
-        tris_dropped = jnp.maximum(patch_pass - Wt, 0.0)
+        # Item drops: pair-slot overflow (patch_slots) plus tri_budget
+        # overflow — both phases that can lose a surviving (pair, patch).
+        tris_dropped = patch_pass - jnp.minimum(kept_items, float(Wt))
         return jnp.isfinite(best_key[:n]), colour[:n], {
             "sphere_pass": sphere_pass, "patch_pass": patch_pass,
             "pairs_dropped": pairs_dropped, "items_dropped": tris_dropped,

@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--pair-budget", type=int, default=1 << 17)
     ap.add_argument("--tri-budget", type=int, default=1 << 18)
     ap.add_argument("--patch-size", type=int, default=32)
+    ap.add_argument("--patch-slots", type=int, default=8,
+                    help="compact phase C: per-pair patch slot budget "
+                    "(0 = legacy flat (Wp x P) nonzero)")
     ap.add_argument("--patch-budget", type=int, default=8)
     ap.add_argument("--chunk-budget", type=int, default=None)
     ap.add_argument("--stage", default="3",
@@ -140,7 +143,8 @@ def main() -> int:
                     m, p_slab, scene, geos, params, block=block,
                     obj_budget=budget, pair_budget=args.pair_budget,
                     tri_budget=args.tri_budget,
-                    patch_size=args.patch_size, with_stats=True)
+                    patch_size=args.patch_size,
+                    patch_slots=args.patch_slots, with_stats=True)
             if args.grouped:
                 # budget = object-segment entries per chunk; per-triangle
                 # work happens in the object's local frame (patch culling).

@@ -293,11 +293,28 @@ def test_compact_matches_dense_and_grouped():
     # Budgets cover this scene -> zero drops reported.
     from geodesic_raytracing_tpu.ops.integrate import trace_rays_recorded
     _, path = trace_rays_recorded(m, st, params, **common)
-    _, _, stats = intersect_scene_compact(
+    hit_s, col_s, stats = intersect_scene_compact(
         m, path, scene, [geo, geo2], params, block=8, obj_budget=16,
         with_stats=True)
     assert float(stats["dropped"]) == 0.0
     assert float(stats["sphere_pass"]) > 0
+
+    # The per-pair slot extraction (patch_slots, default 8) must be
+    # bit-identical to the legacy flat (Wp x P) nonzero when no pair
+    # overflows its slots.
+    hit_f, col_f, stats_f = intersect_scene_compact(
+        m, path, scene, [geo, geo2], params, block=8, obj_budget=16,
+        patch_slots=0, with_stats=True)
+    np.testing.assert_array_equal(np.asarray(hit_s), np.asarray(hit_f))
+    np.testing.assert_array_equal(np.asarray(col_s), np.asarray(col_f))
+    assert float(stats_f["dropped"]) == 0.0
+
+    # Starving the slots (patch_slots=1 on a scene whose pairs hit
+    # several patches) must surface in the drop counter, not silently.
+    _, _, stats_1 = intersect_scene_compact(
+        m, path, scene, [geo, geo2], params, block=8, obj_budget=16,
+        patch_size=4, patch_slots=1, with_stats=True)
+    assert float(stats_1["dropped"]) > 0.0
 
 
 def test_grouped_overflow_counters():
