@@ -826,8 +826,10 @@ def intersect_scene_compact(metric: Metric, path: Array,
     drops, identical hits): 16 -> 0.083, 32 -> 0.131, 64 -> 0.171,
     **128 -> 0.204 Mrays/s** (wider contiguous triangle gathers amortise
     the per-item worklist cost; 256 OOMs the 1M-item phase-C buffers);
-    the two-level pair nonzero (phase B comment) lifts it to **0.341**
-    (1.52 s/frame, 113x over the dense grouped path).
+    the two-level pair nonzero (phase B comment) lifts it to **0.341**,
+    and the per-pair ``patch_slots`` extraction (phase C comment) to
+    **0.457** (1.13 s/frame, 150x over the dense grouped path) — both
+    same-session chip A/Bs at identical hits.
     """
     periods = metric.periods(params)
     n_obj = len(geos)
