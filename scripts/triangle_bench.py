@@ -133,6 +133,11 @@ def main() -> int:
     slab = args.slab_blocks * block
 
     stages = [int(v) for v in str(args.stage).split(",")]
+    if args.compact and args.stage == "3":
+        # compact has 5 stages (0 dense A, 1 +pair compaction/re-solve,
+        # 2 +patch slab, 3 +extraction/item nonzero/tri gathers, 4 full);
+        # map the grouped-path default "3" to full.
+        stages = [4]
     for budget, stage in [(b, st)
                           for b in [int(v) for v in args.budgets.split(",")]
                           for st in stages]:
@@ -144,7 +149,8 @@ def main() -> int:
                     obj_budget=budget, pair_budget=args.pair_budget,
                     tri_budget=args.tri_budget,
                     patch_size=args.patch_size,
-                    patch_slots=args.patch_slots, with_stats=True)
+                    patch_slots=args.patch_slots, with_stats=True,
+                    stage=stage)
             if args.grouped:
                 # budget = object-segment entries per chunk; per-triangle
                 # work happens in the object's local frame (patch culling).
