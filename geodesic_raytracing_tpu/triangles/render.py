@@ -75,6 +75,37 @@ def _moller_trumbore(o, d, v0, v1, v2):
     return hit, jnp.where(hit, t, jnp.inf)
 
 
+def _moller_trumbore_cf(o, d, v0, v1, v2):
+    """Component-first Moller-Trumbore: each argument is a 3-tuple of
+    mutually-broadcastable arrays (x, y, z).  Same math as
+    :func:`_moller_trumbore`, but the arrays keep the triangle axis minor
+    instead of a size-3 component axis — the vector form ran the compact
+    intersector's (Wt, ps, 3) elementwise stream at 3/128 lane occupancy
+    (BENCH_NOTES round-5 stage table: MT+scatter 0.33 s vs ~10 ms of
+    roofline flops)."""
+    def _cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def _dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    e1 = tuple(v1[i] - v0[i] for i in range(3))
+    e2 = tuple(v2[i] - v0[i] for i in range(3))
+    h = _cross(d, e2)
+    a = _dot(e1, h)
+    ok = jnp.abs(a) > 1e-9
+    f = 1.0 / jnp.where(ok, a, 1.0)
+    s = tuple(o[i] - v0[i] for i in range(3))
+    u = f * _dot(s, h)
+    q = _cross(s, e1)
+    v = f * _dot(d, q)
+    t = f * _dot(e2, q)
+    hit = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 1e-6)
+    return hit, jnp.where(hit, t, jnp.inf)
+
+
 def _toblerone_hit(ga, gb, v0, v1, v2, p1, p2, ie_r, ie_n, periods):
     """One (ray segment) x (object segment) x (triangle) test
     (``ray_intersects_toblerone2`` cl.cl:3846-3952).
@@ -828,9 +859,10 @@ def intersect_scene_compact(metric: Metric, path: Array,
     **128 -> 0.204 Mrays/s** (wider contiguous triangle gathers amortise
     the per-item worklist cost; 256 OOMs the 1M-item phase-C buffers);
     the two-level pair nonzero (phase B comment) lifts it to **0.341**,
-    and the per-pair ``patch_slots`` extraction (phase C comment) to
-    **0.457** (1.13 s/frame, 150x over the dense grouped path) — both
-    same-session chip A/Bs at identical hits.
+    the per-pair ``patch_slots`` extraction (phase C comment) to
+    **0.457**, and the component-first MT to **0.467** (1.11 s/frame,
+    ~150x over the dense grouped path) — all same-session chip A/Bs at
+    identical hits.
     """
     periods = metric.periods(params)
     n_obj = len(geos)
@@ -1010,18 +1042,29 @@ def intersect_scene_compact(metric: Metric, path: Array,
     osrt = ostart_p[pr_of]
     oend = oend_p[pr_of]
     objt = obj_p[pr_of]
-    tv0 = patches.v0[objt, pa_of]        # (Wt, ps, 3)
-    tv1 = patches.v1[objt, pa_of]
-    tv2 = patches.v2[objt, pa_of]
-    tnm = patches.normal[objt, pa_of]
+    # Transpose the (tiny, per-scene) patch tables to (O, P, 3, ps) BEFORE
+    # the item gather, so the Wt-stream arrays keep the triangle axis
+    # minor — the (Wt, ps, 3) form ran MT at 3/128 lane occupancy.
+    v0t = jnp.swapaxes(patches.v0, -1, -2)
+    v1t = jnp.swapaxes(patches.v1, -1, -2)
+    v2t = jnp.swapaxes(patches.v2, -1, -2)
+    nmt = jnp.swapaxes(patches.normal, -1, -2)
+    tv0 = v0t[objt, pa_of]               # (Wt, 3, ps)
+    tv1 = v1t[objt, pa_of]
+    tv2 = v2t[objt, pa_of]
+    tnm = nmt[objt, pa_of]
     tva = patches.valid[objt, pa_of]     # (Wt, ps)
     if stage <= 3:
         return _cut(sphere_pass, patch_pass, jnp.zeros((), jnp.float32),
                     0.0 * (tv0.sum() + tv1.sum() + tv2.sum() + tnm.sum()
                            + tva.sum() + tvalid.sum()))
 
-    hit, t = _moller_trumbore(o3[:, None, :], d3[:, None, :],
-                              tv0, tv1, tv2)           # (Wt, ps)
+    hit, t = _moller_trumbore_cf(
+        tuple(o3[:, i:i + 1] for i in range(3)),
+        tuple(d3[:, i:i + 1] for i in range(3)),
+        tuple(tv0[:, i] for i in range(3)),
+        tuple(tv1[:, i] for i in range(3)),
+        tuple(tv2[:, i] for i in range(3)))            # (Wt, ps)
     end_t = t0_[:, None] + td_[:, None] * t
     lo_w = jnp.minimum(osrt, oend)[:, None]
     hi_w = jnp.maximum(osrt, oend)[:, None]
@@ -1032,7 +1075,7 @@ def intersect_scene_compact(metric: Metric, path: Array,
     arg = jnp.argmin(t, axis=1)                        # (Wt,)
     iota_w = jnp.arange(Wt)
     t_item = t[iota_w, arg]
-    nrm_item = tnm[iota_w, arg]                        # (Wt, 3)
+    nrm_item = tnm[iota_w, :, arg]                     # (Wt, 3)
 
     key_item = jnp.where(jnp.isfinite(t_item),
                          s_of[pr_of].astype(jnp.float32)
